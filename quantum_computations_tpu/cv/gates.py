@@ -1,0 +1,292 @@
+"""CV gates on the grid-MPS.
+
+Parity with reference ``simulators/cv_simulator/gates.py``; the numerical
+redesigns are:
+
+- BS / CX 2-D interpolation: one vectorised bilinear gather over the whole
+  (a, d, d, b) tensor (:func:`..ops.interp.warp_2d`) instead of the
+  reference's Python loop of ``scipy.RegularGridInterpolator`` calls per bond
+  pair (reference gates.py:79-80, :188-189).
+- Truncated SVDs produce statically-shaped, zero-masked bonds
+  (:func:`..ops.linalg.tensor_svd`), so gate application is jittable.
+- Stochastic measurements sample with an explicit jax PRNG key.
+
+Deliberate deviations (documented):
+- ``CX`` honours its gain ``s``; the reference ignores it (gates.py:178-184
+  always displaces with unit gain). Default ``s=1.0`` matches the reference.
+- ``Mq`` on a single-mode MPS returns a MeasurementResult (the reference
+  returns a bare float that the simulator then fails to record,
+  gates.py:104-105).
+"""
+
+from __future__ import annotations
+
+import logging
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SVDOptions, complex_dtype
+from ..ops import interp
+from ..ops.linalg import tensor_svd
+from .gate_abc import Gate, Measurement, MeasurementResult, SingleModeGate, TwoModeGate, REPR_DIGITS
+from .mps import MPS
+from .states import State
+
+logger = logging.getLogger(__name__)
+
+__all__ = [
+    "Insert", "SWAP", "BS", "Mq", "Mp", "Homodyne", "CZ", "CX", "F", "X", "Z",
+    "D", "P", "S", "Phase", "Gate", "Measurement", "MeasurementResult",
+    "SingleModeGate", "TwoModeGate",
+]
+
+
+def _opts(gate: Gate, svd_options: SVDOptions | None) -> SVDOptions:
+    return gate.effective_svd_options(svd_options)
+
+
+def _split(tensor, left, right, opts: SVDOptions, key):
+    m1, m2, _ = tensor_svd(
+        tensor, left, right,
+        max_bond_dim=opts.max_bond_dim, abs_err=opts.abs_err, rel_err=opts.rel_err,
+        key=key,
+    )
+    return m1, m2
+
+
+class Insert(SingleModeGate):
+    """Insert a fresh CV mode at `index` (reference gates.py:13-45)."""
+
+    def __init__(self, index: int, state: State, *, gkp_epsilon=None, **kwargs):
+        if kwargs.pop("dagger", None):
+            logger.info(type(self).__name__ + " gates ignore adjoint/dagger.")
+        super().__init__(index, arg=state, **kwargs)
+        self.gkp_epsilon = gkp_epsilon
+
+    def apply(self, mps: MPS, *, key=None, svd_options=None, **_):
+        state = self.arg.eval(jnp.asarray(mps.domain), self.gkp_epsilon)
+        if self.index < 0 or self.index > len(mps):
+            raise IndexError(
+                f"Cannot insert mode at index {self.index} for MPS of length {len(mps)}"
+            )
+        if self.index == 0:
+            mps.tensors.insert(0, state.reshape(1, -1, 1))
+            return
+        if self.index == len(mps):
+            mps.tensors.append(state.reshape(1, -1, 1))
+            return
+        tensor = jnp.einsum("i,ajb->aijb", state, mps[self.index])
+        m1, m2 = _split(tensor, (0, 1), (2, 3), _opts(self, svd_options), key)
+        mps[self.index] = m2
+        mps.tensors.insert(self.index, m1)
+
+
+class SWAP(TwoModeGate):
+    """Swap two neighbouring modes (contract + re-split; reference gates.py:48-55)."""
+
+    def apply(self, mps: MPS, *, key=None, svd_options=None, **_):
+        m1, m2 = mps[self.left_index], mps[self.right_index]
+        res = jnp.einsum("ijk,klm->ijlm", m1, m2)
+        m1, m2 = _split(res, (0, 2), (1, 3), _opts(self, svd_options), key)
+        mps[self.left_index], mps[self.right_index] = m1, m2
+
+
+class BS(TwoModeGate):
+    """Beam splitter: 2-D coordinate rotation of the joint wavefunction."""
+
+    def __init__(self, index1, index2, angle: float = jnp.pi / 4, **kwargs):
+        super().__init__(index1, index2, arg=angle, **kwargs)
+
+    def __repr__(self):
+        angle = round(self.arg / float(jnp.pi), REPR_DIGITS)
+        return type(self).__name__ + f"({angle} * π)" + f"_{self.index1},{self.index2}"
+
+    def apply(self, mps: MPS, *, key=None, svd_options=None, **_):
+        angle = self.arg * (-1) ** (self.index1 > self.index2) * (-1) ** self.dagger
+        qs = jnp.asarray(mps.domain)
+        res = jnp.tensordot(mps[self.left_index], mps[self.right_index], axes=(2, 0))
+        res = interp.rotate_2d(qs, res, angle)
+        m1, m2 = _split(res, (0, 1), (2, 3), _opts(self, svd_options), key)
+        mps[self.left_index], mps[self.right_index] = m1, m2
+
+
+class Mq(Measurement):
+    """Homodyne measurement along the q axis (reference gates.py:87-117)."""
+
+    def apply(self, mps: MPS, *, key=None, **_):
+        qs = jnp.asarray(mps.domain)
+        dq = mps.diff
+        rho = mps.partial_density_mps(self.index)
+        distribution = jnp.clip(jnp.diagonal(rho).real, 0.0, None) * dq
+        if self.result is None:
+            if key is None:
+                raise ValueError("Stochastic homodyne requires a PRNG key.")
+            s_index = jax.random.categorical(key, jnp.log(distribution))
+        else:
+            s_index = jnp.argmin(jnp.abs(qs - self.result))
+        s = qs[s_index]
+        p = distribution[s_index] / dq
+
+        if len(mps) == 1:
+            # Last remaining mode: record the sample, leave the chain as-is
+            # (reference early-escape, gates.py:104-105).
+            return MeasurementResult(s, p)
+
+        mode = jax.lax.dynamic_index_in_dim(mps[self.index], s_index, axis=1, keepdims=False)
+        mode = mode / jnp.sqrt(p)
+        # Contract into whichever neighbour keeps the smaller intermediate
+        # (shape-based and static; reference gates.py:110-113).
+        if int(jnp.argmax(jnp.asarray(mode.shape))) == 0 and self.index != 0:
+            mps[self.index - 1] = jnp.tensordot(mps[self.index - 1], mode, axes=(2, 0))
+        else:
+            mps[self.index + 1] = jnp.tensordot(mode, mps[self.index + 1], axes=(1, 0))
+        mps.tensors.pop(self.index)
+        return MeasurementResult(s, p)
+
+
+class Mp(Mq):
+    """Homodyne along the p axis: inverse Fourier then Mq."""
+
+    def apply(self, mps: MPS, **kwargs):
+        qs = jnp.asarray(mps.domain)
+        mps[self.index] = interp.fourier(qs, mps[self.index], axis=1, inv=True)
+        return super().apply(mps, **kwargs)
+
+
+class Homodyne(Mq):
+    """Homodyne along the q axis rotated by `angle` radians."""
+
+    def __init__(self, index, angle, result=None, **kwargs):
+        super().__init__(index, result, arg=angle, **kwargs)
+
+    def __repr__(self):
+        try:
+            angle = round(float(self.arg) / float(jnp.pi), REPR_DIGITS)
+        except TypeError:
+            angle = "traced"
+        res = f" = {round(self.result, REPR_DIGITS)}" if isinstance(self.result, float) else ""
+        return type(self).__name__ + f"({angle} * π)" + f"_{self.index}" + res
+
+    def apply(self, mps: MPS, **kwargs):
+        angle = self.arg
+        static_angle = not isinstance(angle, jax.core.Tracer)
+        if static_angle and bool(jnp.isclose(jnp.sin(angle), 0)):
+            result = super().apply(mps, **kwargs)
+            result.result = result.result * jnp.round(jnp.cos(angle))
+            return result
+        qs = jnp.asarray(mps.domain)
+        mps[self.index] = interp.rotation(qs, mps[self.index], -angle, axis=1)
+        return super().apply(mps, **kwargs)
+
+
+class CZ(TwoModeGate):
+    """Controlled p-displacement with gain `s` (elementwise phase)."""
+
+    def __init__(self, index1, index2, s: float = 1.0, **kwargs):
+        super().__init__(index1, index2, arg=s, **kwargs)
+
+    def apply(self, mps: MPS, *, key=None, svd_options=None, **_):
+        qs = jnp.asarray(mps.domain)
+        cz = jnp.exp((-1) ** self.dagger * 1j * self.arg * jnp.outer(qs, qs))
+        res = jnp.einsum(
+            "ijk,klm,jl->ijlm", mps[self.left_index], mps[self.right_index],
+            cz.astype(complex_dtype()),
+        )
+        m1, m2 = _split(res, (0, 1), (2, 3), _opts(self, svd_options), key)
+        mps[self.left_index], mps[self.right_index] = m1, m2
+
+
+class CX(TwoModeGate):
+    """Controlled q-displacement with gain `s`."""
+
+    def __init__(self, control, target, s: float = 1.0, **kwargs):
+        super().__init__(control, target, arg=s, **kwargs)
+
+    def __repr__(self):
+        return Gate.__repr__(self) + f"_{self.index1},{self.index2}"
+
+    def apply(self, mps: MPS, *, key=None, svd_options=None, **_):
+        qs = jnp.asarray(mps.domain)
+        res = jnp.tensordot(mps[self.left_index], mps[self.right_index], axes=(2, 0))
+        gain = self.arg * (-1) ** self.dagger
+        res = interp.shear_2d(qs, res, gain, control_left=self.index1 < self.index2)
+        m1, m2 = _split(res, (0, 1), (2, 3), _opts(self, svd_options), key)
+        mps[self.left_index], mps[self.right_index] = m1, m2
+
+
+class F(SingleModeGate):
+    """Fourier gate."""
+
+    def apply(self, mps: MPS, **_):
+        qs = jnp.asarray(mps.domain)
+        mps[self.index] = interp.fourier(qs, mps[self.index], axis=1, inv=self.dagger)
+
+
+class X(SingleModeGate):
+    """q-axis displacement by `s` (Whittaker–Shannon sinc interpolation)."""
+
+    def __init__(self, index, s: float = 1.0, **kwargs):
+        super().__init__(index, arg=s, **kwargs)
+
+    def apply(self, mps: MPS, **_):
+        qs = jnp.asarray(mps.domain)
+        new_qs = qs - (-1) ** self.dagger * self.arg
+        mps[self.index] = interp.whittaker_shannon(qs, mps[self.index], new_qs, axis=1)
+
+
+class Z(SingleModeGate):
+    """p-axis displacement by `s` (linear phase)."""
+
+    def __init__(self, index, s: float = 1.0, **kwargs):
+        super().__init__(index, arg=s, **kwargs)
+
+    def apply(self, mps: MPS, **_):
+        qs = jnp.asarray(mps.domain)
+        phase = jnp.exp((-1) ** self.dagger * 1j * self.arg * qs).astype(complex_dtype())
+        mps[self.index] = mps[self.index] * phase[None, :, None]
+
+
+class D(SingleModeGate):
+    """Quadrature displacement by s = [s_q, s_p]."""
+
+    def __init__(self, index, s, **kwargs):
+        if len(s) != 2:
+            raise ValueError("s must have exactly 2 elements.")
+        super().__init__(index, arg=s, **kwargs)
+
+    def apply(self, mps: MPS, **kwargs):
+        X(self.index, (-1) ** self.dagger * self.arg[0]).apply(mps, **kwargs)
+        Z(self.index, (-1) ** self.dagger * self.arg[1]).apply(mps, **kwargs)
+
+
+class P(SingleModeGate):
+    """Quadratic phase gate with gain `s`."""
+
+    def __init__(self, index, s: float = 1.0, **kwargs):
+        super().__init__(index, arg=s, **kwargs)
+
+    def apply(self, mps: MPS, **_):
+        qs = jnp.asarray(mps.domain)
+        phase = jnp.exp((-1) ** self.dagger * 0.5j * self.arg * qs**2).astype(complex_dtype())
+        mps[self.index] = mps[self.index] * phase[None, :, None]
+
+
+class S(SingleModeGate):
+    """Squeezing gate (not implemented in the reference either, gates.py:249-258)."""
+
+    def __init__(self, index, r: float, angle: float, **kwargs):
+        raise NotImplementedError()
+
+    def apply(self, mps, **kwargs):
+        raise NotImplementedError()
+
+
+class Phase(SingleModeGate):
+    """Single-mode phase rotation (not implemented in the reference, gates.py:261-269)."""
+
+    def __init__(self, index, angle: float, **kwargs):
+        raise NotImplementedError()
+
+    def apply(self, mps, **kwargs):
+        raise NotImplementedError()

@@ -1,0 +1,170 @@
+"""Truncated SVD kernels with static output shapes.
+
+Functional parity with reference ``simulators/cv_simulator/mps.py``:
+``randomized_range_finder`` (:6-23, Halko et al.), ``randomized_truncated_svd``
+(:25-50, oversampling p=10, auto power iterations, transpose optimisation) and
+``tensor_svd`` (:52-97, truncation rule via reversed cumulative sum).
+
+TPU-native redesign: output bond dimensions are STATIC. ``tensor_svd`` returns
+factors padded to a fixed capacity with truncated singular directions
+**zero-masked** instead of sliced away. A zero-padded bond column is
+mathematically inert in every downstream contraction, so results equal the
+reference's dynamically-shaped truncation while keeping all shapes known to
+XLA — whole circuits jit-compile once and vmap over trajectory batches.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..config import PRECISION
+
+# Fixed oversampling for the randomized SVD (reference mps.py:28).
+OVERSAMPLE = 10
+
+
+def bucket(n: int) -> int:
+    """Round a bond capacity up to a small set of sizes to bound the number of
+    distinct compiled shapes (powers of two)."""
+    if n <= 1:
+        return 1
+    return 1 << (n - 1).bit_length()
+
+
+def randomized_range_finder(A: jax.Array, l: int, q: int, key: jax.Array) -> jax.Array:
+    """Find Q (n x l) with Q Q^H A ~= A via Gaussian sketch + QR power iterations.
+
+    All work is tall-skinny matmuls + QR — MXU-friendly.
+    """
+    O = jax.random.normal(key, (A.shape[1], l), dtype=A.real.dtype).astype(A.dtype)
+    Y = A @ O
+    Q, _ = jnp.linalg.qr(Y)
+    for _ in range(q):
+        Y = A.T.conj() @ Q
+        Q, _ = jnp.linalg.qr(Y)
+        Y = A @ Q
+        Q, _ = jnp.linalg.qr(Y)
+    return Q
+
+
+def randomized_truncated_svd(A: jax.Array, k: int, key: jax.Array):
+    """Rank-k randomized SVD (Halko). Returns (U, s, Vh) with k columns/rows.
+
+    Power-iteration count follows the reference heuristic
+    (q = 7 if k < 0.1 * min(shape) else 4, mps.py:29); the larger dimension is
+    reduced first (transpose optimisation, mps.py:31-34).
+    """
+    q = 7 if k < 0.1 * min(A.shape) else 4
+    transpose = A.shape[0] < A.shape[1]
+    if transpose:
+        A = A.T
+    Q = randomized_range_finder(A, min(k + OVERSAMPLE, min(A.shape)), q, key)
+    B = Q.T.conj() @ A
+    U, s, Vh = jnp.linalg.svd(B, full_matrices=False)
+    U, s, Vh = Q @ U[:, :k], s[:k], Vh[:k, :]
+    if transpose:
+        return Vh.T, s, U.T
+    return U, s, Vh
+
+
+def truncation_rank_mask(s: jax.Array, max_bond_dim: int, abs_err: float, rel_err: float):
+    """Number of singular values to keep and the {0,1} keep-mask.
+
+    Reference rule (mps.py:87-89): keep the smallest r such that the sum of
+    the dropped tail is <= max(0, abs_err, sum(s) * rel_err); additionally
+    r <= max_bond_dim. Expressed as a mask so shapes stay static.
+    """
+    allowed = jnp.maximum(abs_err, jnp.sum(s) * rel_err)
+    tail = jnp.cumsum(s[::-1])[::-1]  # tail[i] = s[i] + s[i+1] + ...
+    keep = tail > allowed
+    keep = jnp.logical_and(keep, jnp.arange(s.shape[0]) < max_bond_dim)
+    return jnp.sum(keep), keep.astype(s.dtype)
+
+
+def matrix_svd_split(
+    m: jax.Array,
+    cap: int,
+    *,
+    max_bond_dim: int,
+    abs_err: float,
+    rel_err: float,
+    key: jax.Array | None = None,
+    use_randomized: bool | None = None,
+):
+    """SVD-split m ~= m1 @ m2 with a static internal dimension `cap`.
+
+    m1: (m.shape[0], cap), m2: (cap, m.shape[1]); truncated directions are
+    zeroed. Randomized path is chosen by the reference trigger
+    ``max_bond_dim * 10 < full_rank`` (mps.py:80-83) unless overridden.
+    Returns (m1, m2, rank).
+    """
+    full_rank = min(m.shape)
+    if use_randomized is None:
+        use_randomized = max_bond_dim * 10 < full_rank
+    if use_randomized:
+        if key is None:
+            raise ValueError("randomized SVD requires a PRNG key")
+        k = min(cap, full_rank)
+        u, s, vh = randomized_truncated_svd(m, k, key)
+    else:
+        u, s, vh = jnp.linalg.svd(m, full_matrices=False)
+
+    rank, mask = truncation_rank_mask(s, max_bond_dim, abs_err, rel_err)
+    sqrt_s = jnp.sqrt(s) * mask
+
+    m1 = u * sqrt_s[None, :]
+    m2 = sqrt_s[:, None] * vh
+
+    # Pad or slice the internal dimension to the static cap.
+    k_have = m1.shape[1]
+    if k_have < cap:
+        m1 = jnp.pad(m1, ((0, 0), (0, cap - k_have)))
+        m2 = jnp.pad(m2, ((0, cap - k_have), (0, 0)))
+    elif k_have > cap:
+        m1 = m1[:, :cap]
+        m2 = m2[:cap, :]
+    return m1, m2, rank
+
+
+def tensor_svd(
+    tensor: jax.Array,
+    left_indices,
+    right_indices,
+    *,
+    max_bond_dim: int | None = None,
+    abs_err: float = 0.0,
+    rel_err: float = 1e-12,
+    key: jax.Array | None = None,
+    cap: int | None = None,
+):
+    """Split a rank-n tensor across (left_indices | right_indices) by SVD.
+
+    Returns (m1, m2, rank): m1 owns left_indices + [bond], m2 owns
+    [bond] + right_indices, with the bond padded to a STATIC capacity
+    (bucketed ``min(max_bond_dim, prod(left), prod(right))`` unless `cap`
+    given). Semantics match reference ``tensor_svd`` (mps.py:52-97) with
+    truncation-as-masking.
+    """
+    left_indices = list(left_indices)
+    right_indices = list(right_indices)
+    if sorted(left_indices + right_indices) != list(range(tensor.ndim)):
+        raise IndexError("Output indices does not match indices of initial tensor")
+
+    lshape = [tensor.shape[i] for i in left_indices]
+    rshape = [tensor.shape[i] for i in right_indices]
+    m = jnp.transpose(tensor, left_indices + right_indices)
+    m = m.reshape(math.prod(lshape), math.prod(rshape))
+
+    full_rank = min(m.shape)
+    mbd = full_rank if max_bond_dim is None else min(max_bond_dim, full_rank)
+    if cap is None:
+        cap = bucket(mbd)
+    m1, m2, rank = matrix_svd_split(
+        m, cap, max_bond_dim=mbd, abs_err=abs_err, rel_err=rel_err, key=key,
+        use_randomized=(None if max_bond_dim is not None else False),
+    )
+    return m1.reshape(*lshape, cap), m2.reshape(cap, *rshape), rank
