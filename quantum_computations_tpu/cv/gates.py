@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 from ..config import SVDOptions, complex_dtype
 from ..ops import interp
-from ..ops.linalg import tensor_svd
+from ..ops.linalg import tensor_svd, trim_split
 from .gate_abc import Gate, Measurement, MeasurementResult, SingleModeGate, TwoModeGate, REPR_DIGITS
 from .mps import MPS
 from .states import State
@@ -47,12 +47,12 @@ def _opts(gate: Gate, svd_options: SVDOptions | None) -> SVDOptions:
 
 
 def _split(tensor, left, right, opts: SVDOptions, key):
-    m1, m2, _ = tensor_svd(
+    m1, m2, rank = tensor_svd(
         tensor, left, right,
         max_bond_dim=opts.max_bond_dim, abs_err=opts.abs_err, rel_err=opts.rel_err,
         key=key,
     )
-    return m1, m2
+    return trim_split(m1, m2, rank)
 
 
 class Insert(SingleModeGate):

@@ -16,6 +16,7 @@ import jax
 import numpy as np
 
 from ..config import SVDOptions
+from ..utils import as_key
 from .gate_abc import Gate, MeasurementResult
 from .mps import MPS
 
@@ -49,11 +50,7 @@ class Simulator:
     ):
         self._gates = gates
         self._state: MPS | None = None
-        if isinstance(rng_seed, jax.Array) and rng_seed.dtype == jax.dtypes.prng_key:
-            self._key = rng_seed
-        else:
-            seed = rng_seed if rng_seed is not None else np.random.SeedSequence().entropy % (2**31)
-            self._key = jax.random.PRNGKey(int(seed))
+        self._key = as_key(rng_seed)
         self.results: list[MeasurementResult] | None = None
         self.debug_info = debug_info or (lambda _: None)
         self.meas_format = measurement_formatter

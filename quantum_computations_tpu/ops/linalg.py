@@ -35,6 +35,25 @@ def bucket(n: int) -> int:
     return 1 << (n - 1).bit_length()
 
 
+def trim_split(m1: jax.Array, m2: jax.Array, rank):
+    """Slice a zero-padded SVD split down to its (bucketed) true rank.
+
+    Only possible when `rank` is concrete (eager mode): truncated directions
+    are exact zeros, so slicing them away is lossless and restores the
+    reference's dynamic-rank memory behaviour. Under jit (rank traced) this is
+    a no-op and the static caps stand.
+
+    m1's LAST axis and m2's FIRST axis are the shared bond.
+    """
+    if isinstance(rank, jax.core.Tracer):
+        return m1, m2
+    r = bucket(max(1, int(rank)))
+    if r < m1.shape[-1]:
+        m1 = m1[..., :r]
+        m2 = m2[:r, ...]
+    return m1, m2
+
+
 def randomized_range_finder(A: jax.Array, l: int, q: int, key: jax.Array) -> jax.Array:
     """Find Q (n x l) with Q Q^H A ~= A via Gaussian sketch + QR power iterations.
 
