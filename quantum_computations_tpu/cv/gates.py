@@ -25,6 +25,7 @@ import logging
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import SVDOptions, complex_dtype
 from ..ops import interp
@@ -137,7 +138,7 @@ class Mq(Measurement):
         mode = mode / jnp.sqrt(p)
         # Contract into whichever neighbour keeps the smaller intermediate
         # (shape-based and static; reference gates.py:110-113).
-        if int(jnp.argmax(jnp.asarray(mode.shape))) == 0 and self.index != 0:
+        if int(np.argmax(mode.shape)) == 0 and self.index != 0:
             mps[self.index - 1] = jnp.tensordot(mps[self.index - 1], mode, axes=(2, 0))
         else:
             mps[self.index + 1] = jnp.tensordot(mode, mps[self.index + 1], axes=(1, 0))

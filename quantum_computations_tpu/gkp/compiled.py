@@ -1,0 +1,275 @@
+"""Fully-jitted batched GKP trajectory engine (the TPU throughput path).
+
+The eager :class:`.simulator.Simulator` resolves classical feed-forward on the
+host. Here the ENTIRE measurement-based circuit — Bell insertions,
+beamsplitters, stochastic homodynes, syndrome arithmetic, the Pauli frame and
+the classically-controlled T corrections — is a single traceable function of
+``(initial tensors, PRNG key)``:
+
+- circuit structure (gadget sequence, chain-length evolution) is static, so
+  XLA compiles one program;
+- measurement randomness stays on-device (``jax.random.categorical``);
+- classical control selects *parameters*, not structure: the controlled
+  P/Pdg-vs-I gadget shares one shape, so the choice becomes a traced homodyne
+  ANGLE (`jnp.where`), and the Pauli-frame T/Tdg flip becomes a traced sign in
+  the magic-Bell coefficient;
+- bond capacities stay at their static caps (no eager trimming), so the
+  function vmaps over batches of keys → trajectories/sec/chip.
+
+This has no reference counterpart — the reference runs one trajectory per
+process (`multiprocessing.Pool(3)`, SURVEY.md §2.7).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SVDOptions, complex_dtype
+from ..cv import gates as cvg
+from ..cv.mps import MPS, tensor_svd
+from ..cv.states import State as CVState
+from ..cv.gate_abc import MeasurementResult
+from ..ops import interp
+from ..dv import gates as dv_gates
+from ..dv.simulator import ClassicalControl
+from ..utils import as_key
+from .transpiler import MBGKPCircuit
+from .gates import MB2Type, MBType
+
+SQPI = np.sqrt(np.pi)
+ARCTAN2 = float(np.arctan(2))
+
+
+def _insert_bell(mps: MPS, idx: int, coeff1, epsilon, opts: SVDOptions, key):
+    """Bell insertion with a possibly-traced second logical coefficient."""
+    qs = jnp.asarray(mps.domain)
+    zero = CVState.GKP_ZERO.eval(qs, epsilon)
+    one = CVState.GKP_ONE.eval(qs, epsilon)
+    c1 = jnp.asarray(coeff1, dtype=complex_dtype())
+    bell = jnp.stack([2 ** (-1 / 4) * zero, 2 ** (-1 / 4) * c1 * one], axis=-1)
+    b_left = bell[None, :, :]          # (1, d, 2)
+    b_right = jnp.permute_dims(b_left, (2, 1, 0))
+
+    if idx == 0:
+        mps.tensors = [b_left, b_right] + mps.tensors
+        return
+    if idx == len(mps):
+        mps.tensors = mps.tensors + [b_left, b_right]
+        return
+
+    k1, k2 = jax.random.split(key)
+    t1, t2 = mps[idx - 1], mps[idx]
+    b1, b2 = b_left[0], b_right[:, :, 0]
+
+    tb = jnp.einsum("aib,kd->aikbd", t1, b1)
+    tb = tb.reshape(tb.shape[:-2] + (-1,))
+    t1, b1_t, _ = tensor_svd(tb, (0, 1), (2, 3), max_bond_dim=opts.max_bond_dim,
+                             abs_err=opts.abs_err, rel_err=opts.rel_err, key=k1)
+    tb = jnp.einsum("dl,bjc->bdljc", b2, t2)
+    tb = tb.reshape((-1,) + tb.shape[2:])
+    b2_t, t2, _ = tensor_svd(tb, (0, 1), (2, 3), max_bond_dim=opts.max_bond_dim,
+                             abs_err=opts.abs_err, rel_err=opts.rel_err, key=k2)
+    mps[idx - 1] = t1
+    mps.tensors.insert(idx, b1_t)
+    mps.tensors.insert(idx + 1, b2_t)
+    mps[idx + 2] = t2
+
+
+def _homodyne(mps: MPS, idx: int, angle, key, *, static_zero: bool = False):
+    """Homodyne at (possibly traced) angle; returns the traced sample."""
+    if not static_zero:
+        qs = jnp.asarray(mps.domain)
+        mps[idx] = interp.rotation(qs, mps[idx], -angle, axis=1)
+    res: MeasurementResult = cvg.Mq(idx).apply(mps, key=key)
+    return res.result
+
+
+def _syndrome_from(ta, tb, ma, mb):
+    mu = 1j * (ma * jnp.exp(1j * tb) + mb * jnp.exp(1j * ta)) / jnp.sin(ta - tb)
+    vec = jnp.stack([mu.real, mu.imag]) * 2**0.5
+    return jnp.round(vec / SQPI).astype(jnp.int32) % 2
+
+
+def _single_gadget(mps, idx, angle2, bell_coeff, sign, epsilon, opts, key):
+    """Walshe single-mode gadget with traced second angle / Bell coefficient.
+
+    `sign` multiplies both gadget angles (the (-1)^dagger factor); angle1 is
+    always 0 for the I/P/T family used here, so only the syndrome formula sees
+    it. Returns the (x, z) syndrome pair.
+    """
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    _insert_bell(mps, idx + 1, bell_coeff, epsilon, opts, k1)
+    cvg.BS(idx, idx + 1).apply(mps, key=k2, svd_options=opts)
+    m_a = _homodyne(mps, idx, 0.0, k3, static_zero=True)
+    m_b = _homodyne(mps, idx, sign * angle2, k4)
+    ta = 0.0 * sign
+    tb = sign * angle2
+    s = _syndrome_from(ta, tb, m_a, m_b)
+    return (s[0], s[1])
+
+
+def _fourier_gadget(mps, idx, dagger: bool, epsilon, opts, key):
+    """MBF: static angles [pi/4, -pi/4] * (-1)^dagger."""
+    sgn = -1.0 if dagger else 1.0
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    _insert_bell(mps, idx + 1, 1.0, epsilon, opts, k1)
+    cvg.BS(idx, idx + 1).apply(mps, key=k2, svd_options=opts)
+    ta, tb = sgn * np.pi / 4, -sgn * np.pi / 4
+    m_a = _homodyne(mps, idx, ta, k3)
+    m_b = _homodyne(mps, idx, tb, k4)
+    s = _syndrome_from(ta, tb, m_a, m_b)
+    return (s[0], s[1])
+
+
+def _two_mode_gadget(mps, idx, mb2type: MB2Type, dagger: bool, epsilon, opts, key):
+    """Macronode two-mode gadget (static angles). Returns two syndromes."""
+    sgn = -1.0 if dagger else 1.0
+    ta, tc, tb, td = [sgn * a for a in mb2type.angles()]
+    ks = jax.random.split(key, 10)
+    _insert_bell(mps, idx, 1.0, epsilon, opts, ks[0])
+    _insert_bell(mps, idx + 4, 1.0, epsilon, opts, ks[1])
+    cvg.BS(idx + 2, idx + 1).apply(mps, key=ks[2], svd_options=opts)
+    cvg.BS(idx + 3, idx + 4).apply(mps, key=ks[3], svd_options=opts)
+    cvg.BS(idx + 2, idx + 3).apply(mps, key=ks[4], svd_options=opts)
+    m_a = _homodyne(mps, idx + 2, ta, ks[5], static_zero=(ta == 0.0))
+    m_c = _homodyne(mps, idx + 2, tc, ks[6], static_zero=(tc == 0.0))
+    cvg.BS(idx + 1, idx + 2).apply(mps, key=ks[7], svd_options=opts)
+    m_b = _homodyne(mps, idx + 1, tb, ks[8], static_zero=(tb == 0.0))
+    m_d = _homodyne(mps, idx + 1, td, ks[9], static_zero=(td == 0.0))
+
+    mu_ab = 1j * (m_a * jnp.exp(1j * tb) + m_b * jnp.exp(1j * ta)) / jnp.sin(ta - tb)
+    mu_cd = 1j * (m_c * jnp.exp(1j * td) + m_d * jnp.exp(1j * tc)) / jnp.sin(tc - td)
+    out = []
+    for mu in (mu_cd + mu_ab, mu_cd - mu_ab):
+        vec = jnp.stack([mu.real, mu.imag])
+        s = jnp.round(vec / SQPI).astype(jnp.int32) % 2
+        out.append((s[0], s[1]))
+    return out
+
+
+class CompiledGKP:
+    """Traceable trajectory executor for a transpiled :class:`MBGKPCircuit`.
+
+    >>> prog = CompiledGKP(circuit, qs, epsilon, svd_options)
+    >>> run = jax.jit(prog.trajectory)
+    >>> tensors, syndrome = run(init.tensors, jax.random.PRNGKey(0))
+    >>> batch = jax.vmap(lambda k: prog.trajectory(init.tensors, k))
+    """
+
+    def __init__(self, circuit: MBGKPCircuit, qs, ancilla_epsilon,
+                 svd_options: SVDOptions | dict | None = None):
+        self.circuit = circuit
+        self.qs = np.asarray(qs)
+        self.epsilon = ancilla_epsilon
+        if isinstance(svd_options, dict):
+            svd_options = SVDOptions(**svd_options)
+        self.opts = svd_options or SVDOptions()
+        self.N = circuit._N
+
+    # -- traced frame arithmetic -------------------------------------------
+    @staticmethod
+    def _commute_frame(gate, frame):
+        """Pauli-frame update for a *static* gate type; frame is (N,2) int32."""
+        t = type(gate)
+        if t in (dv_gates.H,):
+            i = gate.indices[0]
+            frame = frame.at[i].set(frame[i][::-1])
+        elif t in (dv_gates.P, dv_gates.Pdg):
+            i = gate.indices[0]
+            frame = frame.at[i, 1].set(frame[i, 1] ^ frame[i, 0])
+        elif t is dv_gates.CZ:
+            i, j = gate.indices
+            zi = frame[i, 1] ^ frame[j, 0]
+            zj = frame[j, 1] ^ frame[i, 0]
+            frame = frame.at[i, 1].set(zi).at[j, 1].set(zj)
+        elif t is dv_gates.SWAP:
+            i, j = gate.indices
+            fi, fj = frame[i], frame[j]
+            frame = frame.at[i].set(fj).at[j].set(fi)
+        return frame
+
+    def trajectory(self, init_tensors: list[jax.Array], key: jax.Array):
+        """One full MB-GKP trajectory. Returns (tensors, (N,2) Pauli syndrome)."""
+        mps = MPS(self.qs, list(init_tensors))
+        key = as_key(key)
+        N = self.N
+        eps = self.epsilon
+        opts = self.opts
+
+        frame = jnp.zeros((N, 2), dtype=jnp.int32)
+        prev_synd = jnp.zeros((N, 2), dtype=jnp.int32)  # layer - 1 gadget syndromes
+
+        for layer in self.circuit._layers:
+            cur_synd = jnp.zeros((N, 2), dtype=jnp.int32)
+            for gate in layer.gates:
+                key, sub = jax.random.split(key)
+                if isinstance(gate, ClassicalControl):
+                    # controlled P/Pdg vs I: traced angle selection
+                    idx = gate.gate.indices[0]
+                    cond = prev_synd[idx, 0]
+                    dg = isinstance(gate.gate, dv_gates.Pdg)
+                    p_angle = -ARCTAN2 if dg else ARCTAN2
+                    angle2 = jnp.where(cond == 1, p_angle, np.pi / 2)
+                    # frame: P/Pdg set z ^= x only when triggered
+                    frame = frame.at[idx, 1].set(frame[idx, 1] ^ (cond & frame[idx, 0]))
+                    x, z = _single_gadget(mps, idx, angle2, 1.0, 1.0, eps, opts, sub)
+                    cur_synd = cur_synd.at[idx, 0].set(x).at[idx, 1].set(z)
+                    continue
+
+                t = type(gate)
+                if t in (dv_gates.T, dv_gates.Tdg):
+                    idx = gate.indices[0]
+                    # Pauli frame flips T <-> Tdg (traced sign)
+                    base = -1.0 if t is dv_gates.Tdg else 1.0
+                    sgn = jnp.where(frame[idx, 0] == 1, -base, base)
+                    bell_coeff = jnp.exp(1j * jnp.pi / 8 * sgn)
+                    # MBT compiles with plain I-angles; syndrome formula uses
+                    # the dagger-signed angles (reference parity).
+                    x, z = _single_gadget(mps, idx, np.pi / 2, bell_coeff, sgn, eps, opts, sub)
+                    cur_synd = cur_synd.at[idx, 0].set(x).at[idx, 1].set(z)
+                    continue
+
+                frame = self._commute_frame(gate, frame)
+                if t is dv_gates.I:
+                    idx = gate.indices[0]
+                    x, z = _single_gadget(mps, idx, np.pi / 2, 1.0, 1.0, eps, opts, sub)
+                    cur_synd = cur_synd.at[idx, 0].set(x).at[idx, 1].set(z)
+                elif t is dv_gates.H:
+                    idx = gate.indices[0]
+                    x, z = _fourier_gadget(mps, idx, False, eps, opts, sub)
+                    cur_synd = cur_synd.at[idx, 0].set(x).at[idx, 1].set(z)
+                elif t in (dv_gates.P, dv_gates.Pdg):
+                    idx = gate.indices[0]
+                    angle2 = -ARCTAN2 if t is dv_gates.Pdg else ARCTAN2
+                    x, z = _single_gadget(mps, idx, angle2, 1.0, 1.0, eps, opts, sub)
+                    cur_synd = cur_synd.at[idx, 0].set(x).at[idx, 1].set(z)
+                elif t is dv_gates.CZ:
+                    idx = min(gate.indices)
+                    (s1, s2) = _two_mode_gadget(mps, idx, MB2Type.CZ, False, eps, opts, sub)
+                    cur_synd = cur_synd.at[idx, 0].set(s1[0]).at[idx, 1].set(s1[1])
+                    cur_synd = cur_synd.at[idx + 1, 0].set(s2[0]).at[idx + 1, 1].set(s2[1])
+                elif t is dv_gates.SWAP:
+                    idx = min(gate.indices)
+                    (s1, s2) = _two_mode_gadget(mps, idx, MB2Type.SWAP, False, eps, opts, sub)
+                    cur_synd = cur_synd.at[idx, 0].set(s1[0]).at[idx, 1].set(s1[1])
+                    cur_synd = cur_synd.at[idx + 1, 0].set(s2[0]).at[idx + 1, 1].set(s2[1])
+                else:
+                    raise NotImplementedError(f"Gate {gate} not supported in compiled mode.")
+
+            # end of layer: fold gadget syndromes + scheduled Paulis into frame
+            frame = frame ^ cur_synd
+            frame = frame ^ jnp.asarray(layer.paulis, dtype=jnp.int32)
+            prev_synd = cur_synd
+
+        return mps.tensors, frame
+
+    def batched(self, init_mps: MPS, n: int, rng_seed=None, *, jit: bool = True):
+        """Run n trajectories via vmap; returns (stacked tensors, (n,N,2) syndromes)."""
+        keys = jax.random.split(as_key(rng_seed), n)
+        fn = lambda k: self.trajectory(init_mps.tensors, k)
+        vf = jax.vmap(fn)
+        if jit:
+            vf = jax.jit(vf)
+        return vf(keys)
