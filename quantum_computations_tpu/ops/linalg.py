@@ -27,6 +27,33 @@ from ..config import PRECISION
 OVERSAMPLE = 10
 
 
+def svd_via_eigh(A: jax.Array):
+    """SVD through the Hermitian eigendecomposition of A^H A.
+
+    The TPU backend has no complex-SVD lowering (UNIMPLEMENTED), but complex
+    QR and eigh work. Squares the condition number — ample for truncation
+    decisions at rel_err >= 1e-6 in float32.
+    """
+    m, n = A.shape
+    if m < n:
+        U, s, Vh = svd_via_eigh(A.T.conj())
+        return Vh.T.conj(), s, U.T.conj()
+    w, V = jnp.linalg.eigh(A.T.conj() @ A)  # ascending
+    w = w[::-1]
+    V = V[:, ::-1]
+    s = jnp.sqrt(jnp.clip(w.real, 0.0, None))
+    U = (A @ V) / jnp.where(s > 0, s, 1.0)[None, :]
+    return U, s, V.T.conj()
+
+
+def svd_compat(A: jax.Array, full_matrices: bool = False):
+    """Backend-dispatching thin SVD: native on CPU/GPU, eigh-based on TPU."""
+    assert not full_matrices
+    if jax.default_backend() == "cpu":
+        return jnp.linalg.svd(A, full_matrices=False)
+    return svd_via_eigh(A)
+
+
 def bucket(n: int) -> int:
     """Round a bond capacity up to a small set of sizes to bound the number of
     distinct compiled shapes (powers of two)."""
@@ -83,7 +110,7 @@ def randomized_truncated_svd(A: jax.Array, k: int, key: jax.Array):
         A = A.T
     Q = randomized_range_finder(A, min(k + OVERSAMPLE, min(A.shape)), q, key)
     B = Q.T.conj() @ A
-    U, s, Vh = jnp.linalg.svd(B, full_matrices=False)
+    U, s, Vh = svd_compat(B, full_matrices=False)
     U, s, Vh = Q @ U[:, :k], s[:k], Vh[:k, :]
     if transpose:
         return Vh.T, s, U.T
@@ -130,7 +157,7 @@ def matrix_svd_split(
         k = min(cap, full_rank)
         u, s, vh = randomized_truncated_svd(m, k, key)
     else:
-        u, s, vh = jnp.linalg.svd(m, full_matrices=False)
+        u, s, vh = svd_compat(m, full_matrices=False)
 
     rank, mask = truncation_rank_mask(s, max_bond_dim, abs_err, rel_err)
     sqrt_s = jnp.sqrt(s) * mask
