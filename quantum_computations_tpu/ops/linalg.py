@@ -28,28 +28,43 @@ OVERSAMPLE = 10
 
 
 def svd_via_eigh(A: jax.Array):
-    """SVD through the Hermitian eigendecomposition of A^H A.
+    """SVD of a complex matrix using only real eigh + matmuls.
 
-    The TPU backend has no complex-SVD lowering (UNIMPLEMENTED), but complex
-    QR and eigh work. Squares the condition number — ample for truncation
-    decisions at rel_err >= 1e-6 in float32.
+    The TPU backend lowers neither complex SVD nor complex eigh (both
+    UNIMPLEMENTED at run time); real eigh and complex matmul/QR work. So the
+    Hermitian product B = A^H A is embedded as the real symmetric
+    M = [[Re B, -Im B], [Im B, Re B]] whose spectrum is that of B with every
+    eigenvalue doubled: a real eigenvector [p; q] of eigenvalue λ maps to the
+    complex eigenvector p + iq, and the two members of each pair map to the
+    same complex vector up to phase, so taking every other (descending-sorted)
+    column yields an orthonormal complex eigenbasis. A tiny deterministic
+    diagonal perturbation splits accidentally-degenerate eigenvalues so pairs
+    never mix across eigenspaces. Squares the condition number — ample for
+    bond-truncation decisions (rel_err >= 1e-6 in float32).
     """
     m, n = A.shape
     if m < n:
         U, s, Vh = svd_via_eigh(A.T.conj())
         return Vh.T.conj(), s, U.T.conj()
-    w, V = jnp.linalg.eigh(A.T.conj() @ A)  # ascending
+    B = A.T.conj() @ A
+    # split exact degeneracies (e.g. symmetric states); relative size 1e-6
+    scale = jnp.trace(B).real / max(n, 1)
+    B = B + (1e-6 * scale / max(n, 1)) * jnp.diag(jnp.arange(n, dtype=B.real.dtype))
+    M = jnp.block([[B.real, -B.imag], [B.imag, B.real]])
+    w, U2 = jnp.linalg.eigh(M)  # ascending, eigenvalues doubled
     w = w[::-1]
-    V = V[:, ::-1]
-    s = jnp.sqrt(jnp.clip(w.real, 0.0, None))
-    U = (A @ V) / jnp.where(s > 0, s, 1.0)[None, :]
+    U2 = U2[:, ::-1]
+    V = (U2[:n, ::2] + 1j * U2[n:, ::2]).astype(A.dtype)  # one per pair, unit norm
+    AV = A @ V
+    s = jnp.linalg.norm(AV, axis=0)  # exact singular values of A
+    U = AV / jnp.where(s > 0, s, 1.0)[None, :]
     return U, s, V.T.conj()
 
 
 def svd_compat(A: jax.Array, full_matrices: bool = False):
-    """Backend-dispatching thin SVD: native on CPU/GPU, eigh-based on TPU."""
+    """Backend-dispatching thin SVD: native on CPU/GPU, real-eigh-based on TPU."""
     assert not full_matrices
-    if jax.default_backend() == "cpu":
+    if jax.default_backend() == "cpu" or not jnp.iscomplexobj(A):
         return jnp.linalg.svd(A, full_matrices=False)
     return svd_via_eigh(A)
 

@@ -1,0 +1,179 @@
+"""Distillation subsystem tests, including goldens against committed reference data."""
+
+import json
+import os
+
+import mpmath
+import numpy as np
+import pytest
+from mpmath import mpf
+
+from quantum_computations_tpu.distill import (
+    CachedPruner, ClassicalStage, DFSArgs, ED_n_1_n, GrowStage, InitStage,
+    LogicalDistillationSequence, QuantumStage, Simulator, balanced_depolarisation_noise,
+    dfs_code_sequence, load_codes_table, surface_code_error, surface_code_qubits,
+    surface_code_size,
+)
+from quantum_computations_tpu.distill.codes import filtered_codes
+
+REF_DATA = (
+    "/root/reference/fault-tolerant_interfaces_for_modular_quantum_computing_on_"
+    "diverse_qubit_platforms/data"
+)
+
+
+def test_surface_code_numbers():
+    assert surface_code_qubits(3) == 17
+    assert surface_code_qubits(5, False) == (25, 24)
+    assert surface_code_qubits(3, False, rotated=False) == (13, 12)
+    # golden from reference data: p_L(L=3, p=0.1%) appears in serialized stages
+    p = surface_code_error(3, mpf("0.001"))
+    assert abs(float(p) - 0.0038949159644811812) < 1e-18
+    p10 = surface_code_error(10, mpf("0.001"))
+    assert abs(float(p10) - 3.3711934156378600823e-6) < 1e-18
+    # L = ceil(2 log2(1e-6/8e-2) / log2(1e-3/7.5e-3)) = 12
+    assert surface_code_size(mpf("0.001"), mpf("1e-6")) == 12
+
+
+def test_balanced_depolarisation_limits():
+    err = [mpf(1), mpf(0), mpf(0), mpf(0)]
+    out = balanced_depolarisation_noise(err, mpf("0.01"), 0)
+    assert [float(x) for x in out] == [1.0, 0.0, 0.0, 0.0]
+    out = balanced_depolarisation_noise(err, mpf("0.75"), mpf(10**6))
+    np.testing.assert_allclose([float(x) for x in out], [0.25] * 4, atol=1e-12)
+
+
+def test_repetition_code_evaluator():
+    rate, out, k = ED_n_1_n(2, mpf("0.01"), basis="Z")
+    assert k == 1
+    # [2,1,2] Z-basis repetition suppresses Z and Y to O(p^2); X survives.
+    p_in = 0.01 / 3
+    assert float(out[2]) < p_in**1.5 and float(out[3]) < p_in**1.5
+    assert float(out[1]) > p_in
+    assert 0 < float(rate) <= 0.5
+    # X basis suppresses X (and Y) instead
+    rate_x, out_x, _ = ED_n_1_n(2, mpf("0.01"), basis="X")
+    assert float(out_x[1]) < p_in**1.5
+    assert float(out_x[2]) > p_in
+
+
+def test_codes_table_loads():
+    codes = load_codes_table()
+    assert len(codes) > 1000
+    cl, q = filtered_codes(12)
+    assert all(n == d and ct == "Classical" for n, k, d, ct, b in cl)
+    assert all(ct == "Quantum" and n > 1 for n, k, d, ct, b in q)
+    assert any(b == "X" for *_, b in cl)
+
+
+def test_sequence_recurrences():
+    init = InitStage(mpf("1.25e-2"), 3, mpf("0.001"))
+    seq = LogicalDistillationSequence(init)
+    assert seq.K == 1 and seq.min_memory_req == 0
+
+    seq.add_stage(ClassicalStage((2, 1, 2), "X", seq.L, seq.p_L, mpf("0.001")))
+    assert seq.K == 1
+    assert float(seq.encoding_rate) < 0.5  # k/n = 1/2 with failures
+    assert seq.min_memory_req == 2 * surface_code_qubits(3)
+    p1 = seq.p_out
+
+    seq.add_stage(ClassicalStage((2, 1, 2), "Y", seq.L, seq.p_L, mpf("0.001")))
+    assert seq.p_out < p1  # distillation reduces error
+
+    seq.add_stage(GrowStage(10, seq.L, seq.p_L, mpf("0.001")))
+    assert seq.L == 10
+    assert seq.distillation_rate(100000, 0) == seq.encoding_rate
+    assert seq.distillation_rate(1, mpmath.inf) == 0.0
+
+
+def test_sequence_serialisation_roundtrip():
+    init = InitStage(mpf("1.25e-2"), 3, mpf("0.001"))
+    seq = LogicalDistillationSequence(init)
+    seq.add_stage(ClassicalStage((2, 1, 2), "Z", seq.L, seq.p_L, mpf("0.001")))
+    seq.add_stage(GrowStage(7, seq.L, seq.p_L, mpf("0.001")))
+    blob = seq.serialise()
+    back = LogicalDistillationSequence.deserialise(blob)
+    assert float(back.p_out) == float(seq.p_out)
+    assert float(back.encoding_rate) == float(seq.encoding_rate)
+    assert back.min_memory_req == seq.min_memory_req
+    assert back.K == seq.K
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_DATA), reason="reference data not mounted")
+def test_reference_sequences_deserialise_and_are_consistent():
+    """Golden: committed reference sequences must deserialise through OUR stage
+    classes, and every recorded stage p_L must match our surface-code model."""
+    with open(os.path.join(REF_DATA, "sequences_06.dat")) as fh:
+        data = json.load(fh)
+    checked = 0
+    for entry in data:
+        if entry["sequence"] is None:
+            continue
+        seq = LogicalDistillationSequence.deserialise(entry["sequence"])
+        # Stage-recorded p_L values are derived from surface_code_error at the
+        # time of the search; recompute and compare.
+        for st in seq.stages[1:]:
+            if isinstance(st, (ClassicalStage, QuantumStage)):
+                want = surface_code_error(st.L, st.p_local)
+                # p_L recorded for code stages is the p_L of the patch they run on
+                assert abs(float(st.p_L - want)) <= float(want) * 1e-12
+        assert float(seq.p_out) < 1e-6  # the dataset's target error
+        checked += 1
+        if checked >= 25:
+            break
+    assert checked >= 10
+
+
+def test_pruner_dominance():
+    init = InitStage(mpf("1.25e-2"), 3, mpf("0.001"))
+    seq = LogicalDistillationSequence(init)
+    pruner = CachedPruner()
+    assert not pruner.prune(seq)
+    pruner.insert_prune_value(seq)
+    assert pruner.prune(seq)  # identical point dominated
+    # A strictly better sequence (lower error) must NOT be pruned.
+    better = seq.shallow_copy()
+    better.stage_p_out = [mpf("1e-3")]
+    assert not pruner.prune(better)
+    assert pruner.size == 1
+
+
+@pytest.mark.slow
+def test_dfs_finds_reference_optimum():
+    """Golden: DFS at the smallest reference memory point reproduces the
+    committed optimal sequence (sequences_06.dat: p_bell=1.25e-2,
+    p_targ=1e-6, input_rate=0). Warm-started just below the reference
+    optimum's rate — the reference search itself relied on warm starts
+    (parallel_optim_search.py:52-83), and a cold search takes hours."""
+    with open(os.path.join(REF_DATA, "sequences_06.dat")) as fh:
+        data = json.load(fh)
+    entries = [e for e in data if e["input_rate"] == "0" and e["sequence"] is not None]
+    entry = min(entries, key=lambda e: e["memory"])
+    memory = entry["memory"]
+    ref_seq = LogicalDistillationSequence.deserialise(entry["sequence"])
+    ref_rate = ref_seq.distillation_rate(memory, 0)
+
+    local_error = mpf("0.1e-2")
+    targ_error = mpf("1e-6")
+    targ_L = surface_code_size(local_error, targ_error)
+    code_sizes = list(range(0, targ_L, 1))
+    init_seq = LogicalDistillationSequence(InitStage(mpf("1.25e-2"), 3, local_error))
+    args = DFSArgs(local_error, memory, targ_error, targ_L, 0, code_sizes=code_sizes)
+    best = dfs_code_sequence(args, init_seq, min_rate=float(ref_rate) * (1 - 1e-9))
+    assert best is not None, "DFS failed to re-find the reference optimum"
+    assert abs(float(best.encoding_rate - ref_seq.encoding_rate)) < 1e-12
+    assert [str(s) for s in best.stages] == [str(s) for s in ref_seq.stages]
+
+
+def test_pipeline_simulator_runs():
+    init = InitStage(mpf("1.25e-2"), 3, mpf("0.001"))
+    seq = LogicalDistillationSequence(init)
+    seq.add_stage(ClassicalStage((2, 1, 2), "X", seq.L, seq.p_L, mpf("0.001")))
+    seq.add_stage(ClassicalStage((2, 1, 2), "Y", seq.L, seq.p_L, mpf("0.001")))
+    sim = Simulator(10 * seq.min_memory_req, mpmath.inf, seq, rng_seed=1)
+    out = sim.run(3000, collect_data=True)
+    assert out["max_memory"] <= 10 * seq.min_memory_req
+    assert out["rate"] > 0
+    # simulated rate should be in the ballpark of the analytic rate
+    analytic = float(seq.distillation_rate(10 * seq.min_memory_req, mpmath.inf))
+    assert 0.2 * analytic < out["rate"] < 5 * analytic
