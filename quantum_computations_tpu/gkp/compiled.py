@@ -92,34 +92,22 @@ def _syndrome_from(ta, tb, ma, mb):
     return jnp.round(vec / SQPI).astype(jnp.int32) % 2
 
 
-def _single_gadget(mps, idx, angle2, bell_coeff, sign, epsilon, opts, key):
-    """Walshe single-mode gadget with traced second angle / Bell coefficient.
+def _single_gadget(mps, idx, meas_angles, syn_angles, bell_coeff, epsilon, opts, key,
+                   *, a1_zero: bool = True):
+    """Walshe single-mode gadget with possibly-traced angles/Bell coefficient.
 
-    `sign` multiplies both gadget angles (the (-1)^dagger factor); angle1 is
-    always 0 for the I/P/T family used here, so only the syndrome formula sees
-    it. Returns the (x, z) syndrome pair.
+    `meas_angles` are the two homodyne angles actually measured;
+    `syn_angles` the angles entering the byproduct-syndrome formula. They
+    coincide for I/H/P gadgets; for a Pauli-frame-flipped T the reference
+    measures at the unsigned I-angles but signs the syndrome formula
+    (gkp gates.py:248-258 vs :114-127). Returns the (x, z) syndrome pair.
     """
     k1, k2, k3, k4 = jax.random.split(key, 4)
     _insert_bell(mps, idx + 1, bell_coeff, epsilon, opts, k1)
     cvg.BS(idx, idx + 1).apply(mps, key=k2, svd_options=opts)
-    m_a = _homodyne(mps, idx, 0.0, k3, static_zero=True)
-    m_b = _homodyne(mps, idx, sign * angle2, k4)
-    ta = 0.0 * sign
-    tb = sign * angle2
-    s = _syndrome_from(ta, tb, m_a, m_b)
-    return (s[0], s[1])
-
-
-def _fourier_gadget(mps, idx, dagger: bool, epsilon, opts, key):
-    """MBF: static angles [pi/4, -pi/4] * (-1)^dagger."""
-    sgn = -1.0 if dagger else 1.0
-    k1, k2, k3, k4 = jax.random.split(key, 4)
-    _insert_bell(mps, idx + 1, 1.0, epsilon, opts, k1)
-    cvg.BS(idx, idx + 1).apply(mps, key=k2, svd_options=opts)
-    ta, tb = sgn * np.pi / 4, -sgn * np.pi / 4
-    m_a = _homodyne(mps, idx, ta, k3)
-    m_b = _homodyne(mps, idx, tb, k4)
-    s = _syndrome_from(ta, tb, m_a, m_b)
+    m_a = _homodyne(mps, idx, meas_angles[0], k3, static_zero=a1_zero)
+    m_b = _homodyne(mps, idx, meas_angles[1], k4)
+    s = _syndrome_from(syn_angles[0], syn_angles[1], m_a, m_b)
     return (s[0], s[1])
 
 
@@ -214,7 +202,8 @@ class CompiledGKP:
                     angle2 = jnp.where(cond == 1, p_angle, np.pi / 2)
                     # frame: P/Pdg set z ^= x only when triggered
                     frame = frame.at[idx, 1].set(frame[idx, 1] ^ (cond & frame[idx, 0]))
-                    x, z = _single_gadget(mps, idx, angle2, 1.0, 1.0, eps, opts, sub)
+                    x, z = _single_gadget(mps, idx, (0.0, angle2), (0.0, angle2),
+                                          1.0, eps, opts, sub)
                     cur_synd = cur_synd.at[idx, 0].set(x).at[idx, 1].set(z)
                     continue
 
@@ -225,25 +214,32 @@ class CompiledGKP:
                     base = -1.0 if t is dv_gates.Tdg else 1.0
                     sgn = jnp.where(frame[idx, 0] == 1, -base, base)
                     bell_coeff = jnp.exp(1j * jnp.pi / 8 * sgn)
-                    # MBT compiles with plain I-angles; syndrome formula uses
-                    # the dagger-signed angles (reference parity).
-                    x, z = _single_gadget(mps, idx, np.pi / 2, bell_coeff, sgn, eps, opts, sub)
+                    # MBT measures at the plain I-angles; the syndrome formula
+                    # uses the dagger-signed angles (reference parity).
+                    x, z = _single_gadget(
+                        mps, idx, (0.0, np.pi / 2), (0.0 * sgn, sgn * np.pi / 2),
+                        bell_coeff, eps, opts, sub,
+                    )
                     cur_synd = cur_synd.at[idx, 0].set(x).at[idx, 1].set(z)
                     continue
 
                 frame = self._commute_frame(gate, frame)
                 if t is dv_gates.I:
                     idx = gate.indices[0]
-                    x, z = _single_gadget(mps, idx, np.pi / 2, 1.0, 1.0, eps, opts, sub)
+                    x, z = _single_gadget(mps, idx, (0.0, np.pi / 2), (0.0, np.pi / 2),
+                                          1.0, eps, opts, sub)
                     cur_synd = cur_synd.at[idx, 0].set(x).at[idx, 1].set(z)
                 elif t is dv_gates.H:
                     idx = gate.indices[0]
-                    x, z = _fourier_gadget(mps, idx, False, eps, opts, sub)
+                    angles = (np.pi / 4, -np.pi / 4)
+                    x, z = _single_gadget(mps, idx, angles, angles, 1.0, eps, opts, sub,
+                                          a1_zero=False)
                     cur_synd = cur_synd.at[idx, 0].set(x).at[idx, 1].set(z)
                 elif t in (dv_gates.P, dv_gates.Pdg):
                     idx = gate.indices[0]
                     angle2 = -ARCTAN2 if t is dv_gates.Pdg else ARCTAN2
-                    x, z = _single_gadget(mps, idx, angle2, 1.0, 1.0, eps, opts, sub)
+                    x, z = _single_gadget(mps, idx, (0.0, angle2), (0.0, angle2),
+                                          1.0, eps, opts, sub)
                     cur_synd = cur_synd.at[idx, 0].set(x).at[idx, 1].set(z)
                 elif t is dv_gates.CZ:
                     idx = min(gate.indices)
@@ -273,3 +269,79 @@ class CompiledGKP:
         if jit:
             vf = jax.jit(vf)
         return vf(keys)
+
+    # -- fully device-resident entry point ---------------------------------
+    #
+    # The axon TPU backend cannot transfer complex buffers across the
+    # host<->device boundary (flaky UNIMPLEMENTED), while complex compute
+    # inside a compiled program works. This entry point therefore builds the
+    # initial GKP product state INSIDE the trace (state evaluation is
+    # jittable) and returns only real/int outputs: the Pauli frame and the
+    # syndrome-corrected logical density matrix split into (real, imag).
+
+    def trajectory_with_readout(self, init_coeffs, key):
+        """One trajectory from logical initial coefficients to corrected rho.
+
+        init_coeffs: (N, 2) REAL-pair array [[c0_re, c0_im], ...] per mode is
+        not expressive enough for two complex coefficients; instead pass
+        shape (N, 2, 2): per mode [[a_re, a_im], [b_re, b_im]] with the GKP
+        state a|0_gkp> + b|1_gkp>. Returns (frame, rho_re, rho_im).
+        """
+        from .utils import full_logical_density_mps
+
+        qs = jnp.asarray(self.qs)
+        init_coeffs = jnp.asarray(init_coeffs)
+        tensors = []
+        for i in range(self.N):
+            a = init_coeffs[i, 0, 0] + 1j * init_coeffs[i, 0, 1]
+            b = init_coeffs[i, 1, 0] + 1j * init_coeffs[i, 1, 1]
+            psi = CVState.GKP_ZERO.eval(qs, self.epsilon) * a \
+                + CVState.GKP_ONE.eval(qs, self.epsilon) * b
+            norm = jnp.sqrt(jnp.sum(jnp.abs(psi) ** 2) * (qs[1] - qs[0]))
+            tensors.append((psi / norm).reshape(1, -1, 1))
+
+        out_tensors, frame = self.trajectory(tensors, key)
+        rho = full_logical_density_mps(MPS(self.qs, out_tensors))
+
+        # Syndrome correction C = kron_i X^x Z^z as traced selection.
+        X = jnp.array([[0.0, 1.0], [1.0, 0.0]], dtype=rho.dtype)
+        Z = jnp.array([[1.0, 0.0], [0.0, -1.0]], dtype=rho.dtype)
+        I2 = jnp.eye(2, dtype=rho.dtype)
+        corr = jnp.ones((1, 1), dtype=rho.dtype)
+        for i in range(self.N):
+            m = jnp.where(frame[i, 1] == 1, Z, I2)
+            m = jnp.where(frame[i, 0] == 1, X @ m, m)
+            corr = jnp.kron(corr, m)
+        rho = corr @ rho @ corr.conj().T
+        rho = rho / jnp.trace(rho)
+        return frame, rho.real, rho.imag
+
+    def batched_readout(self, init_coeffs, n: int, rng_seed=None):
+        """n trajectories -> (frames (n,N,2), rho_re, rho_im (n,2^N,2^N)).
+
+        All inputs/outputs are real or integer arrays — safe for backends
+        without complex host transfer.
+        """
+        keys = jax.random.split(as_key(rng_seed), n)
+        init_coeffs = jnp.asarray(np.asarray(init_coeffs, dtype=np.float32))
+        fn = jax.jit(jax.vmap(lambda k: self.trajectory_with_readout(init_coeffs, k)))
+        return fn(keys)
+
+
+def logical_coeffs(dv_states) -> np.ndarray:
+    """(N, 2, 2) real init-coefficient array from DV State enums."""
+    from ..dv.states import State as DVState
+
+    mapping = {
+        DVState.ZERO: (1, 0), DVState.ONE: (0, 1),
+        DVState.PLUS: (2**-0.5, 2**-0.5), DVState.MINUS: (2**-0.5, -(2**-0.5)),
+        DVState.T: (2**-0.5, 2**-0.5 * np.exp(1j * np.pi / 4)),
+        DVState.TDG: (2**-0.5, 2**-0.5 * np.exp(-1j * np.pi / 4)),
+        DVState.H: (np.cos(np.pi / 8), np.sin(np.pi / 8)),
+    }
+    out = np.zeros((len(dv_states), 2, 2), dtype=np.float32)
+    for i, s in enumerate(dv_states):
+        a, b = mapping[s]
+        out[i, 0] = (np.real(a), np.imag(a))
+        out[i, 1] = (np.real(b), np.imag(b))
+    return out

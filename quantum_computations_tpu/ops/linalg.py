@@ -99,17 +99,20 @@ def trim_split(m1: jax.Array, m2: jax.Array, rank):
 def randomized_range_finder(A: jax.Array, l: int, q: int, key: jax.Array) -> jax.Array:
     """Find Q (n x l) with Q Q^H A ~= A via Gaussian sketch + QR power iterations.
 
-    All work is tall-skinny matmuls + QR — MXU-friendly.
+    All work is tall-skinny matmuls + QR — MXU-friendly. The power iteration
+    is a rolled `fori_loop` so the compiled graph contains 3 QR subgraphs
+    instead of 1 + 2q (QR lowers to a large HLO region; unrolling it was the
+    dominant compile-time cost of the fully-jitted trajectory programs).
     """
     O = jax.random.normal(key, (A.shape[1], l), dtype=A.real.dtype).astype(A.dtype)
-    Y = A @ O
-    Q, _ = jnp.linalg.qr(Y)
-    for _ in range(q):
-        Y = A.T.conj() @ Q
-        Q, _ = jnp.linalg.qr(Y)
-        Y = A @ Q
-        Q, _ = jnp.linalg.qr(Y)
-    return Q
+    Q, _ = jnp.linalg.qr(A @ O)
+
+    def body(_, Q):
+        Q1, _ = jnp.linalg.qr(A.T.conj() @ Q)
+        Q2, _ = jnp.linalg.qr(A @ Q1)
+        return Q2
+
+    return jax.lax.fori_loop(0, q, body, Q)
 
 
 def randomized_truncated_svd(A: jax.Array, k: int, key: jax.Array):
