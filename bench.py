@@ -37,11 +37,12 @@ REPS = int(os.environ.get("QCT_BENCH_REPS", 3))
 _BENCH_GATES = "H0 P0 CZ01 H1 P1 SWAP01"
 
 
-def _build():
-    import jax
+def _build_prog():
+    """Circuit + compiled program; performs NO eager array computation (the
+    TPU backend chokes on eager complex ops — everything must stay in-trace)."""
     from quantum_computations_tpu.config import SVDOptions
-    from quantum_computations_tpu.dv import State as DVState, gates as dvg
-    from quantum_computations_tpu.gkp import MBGKPCircuit, db2eps, parse_to_mps
+    from quantum_computations_tpu.dv import gates as dvg
+    from quantum_computations_tpu.gkp import MBGKPCircuit, db2eps
     from quantum_computations_tpu.gkp.compiled import CompiledGKP
 
     gates = []
@@ -53,11 +54,10 @@ def _build():
     circ.fill()
 
     qs = np.linspace(-20, 20, GRID)
-    eps = db2eps(10.0)
+    eps = float(db2eps(10.0))
     svd = SVDOptions(max_bond_dim=CHI, rel_err=1e-2)
     prog = CompiledGKP(circ, qs, eps, svd)
-    init = parse_to_mps([DVState.ZERO, DVState.ZERO], eps, qs)
-    return prog, init, (gates, qs, eps, svd)
+    return prog, circ, (gates, qs, eps, svd)
 
 
 def run_tpu() -> float:
@@ -76,8 +76,8 @@ def run_tpu() -> float:
                       os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    prog, init, _ = _build()
-    coeffs = jnp.asarray(logical_coeffs([DVState.ZERO, DVState.ZERO]))
+    prog, _, _ = _build_prog()
+    coeffs = logical_coeffs([DVState.ZERO, DVState.ZERO])  # numpy: traced as a literal
     fn = jax.jit(jax.vmap(lambda k: prog.trajectory_with_readout(coeffs, k)))
 
     keys = jax.random.split(jax.random.PRNGKey(0), BATCH)
@@ -97,12 +97,11 @@ def run_baseline_inline(n_traj: int = 2) -> float:
     """Seconds/trajectory of the eager host-orchestrated engine (call inside a
     CPU-pinned subprocess)."""
     import jax
-    from quantum_computations_tpu.gkp import Simulator as GKPSimulator
+    from quantum_computations_tpu.dv import State as DVState
+    from quantum_computations_tpu.gkp import Simulator as GKPSimulator, parse_to_mps
 
-    prog, init, (gates, qs, eps, svd) = _build()
-    from quantum_computations_tpu.gkp import MBGKPCircuit
-    circ = MBGKPCircuit.transpile(gates, 2)
-    circ.fill()
+    prog, circ, (gates, qs, eps, svd) = _build_prog()
+    init = parse_to_mps([DVState.ZERO, DVState.ZERO], eps, qs)
 
     sim = GKPSimulator(circ, eps, rng_seed=0, svd_options=svd)
     out = sim.run(init.copy())  # warm the compile caches

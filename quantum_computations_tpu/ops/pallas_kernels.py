@@ -1,0 +1,104 @@
+"""Pallas TPU kernels for the DV statevector hot path.
+
+The single-qubit gate update is the canonical HBM-bound operation of a
+statevector simulator: every amplitude is read and written once per gate, so
+the speed-of-light is 2 x state-size of HBM traffic. This kernel fuses the
+2x2 mix of both qubit branches into one pass over the state, with the state
+split into (real, imag) float planes — the TPU backend here has no native
+complex support in Pallas, and split-real is also how XLA lowers complex
+arithmetic internally.
+
+Layout: the state is viewed as (outer, 2, inner) with outer = 2^q,
+inner = 2^(N-q-1); the grid tiles (outer, inner) and each program mixes the
+two middle-axis slices with the 2x2 unitary held in SMEM.
+
+The kernel requires inner >= 128 (the qubit must not sit in the last 7
+axes); callers fall back to the XLA tensordot path otherwise — for those
+qubits the permutation cost would dominate anyway.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _mix_kernel(u_ref, xr_ref, xi_ref, or_ref, oi_ref):
+    """out[b] = sum_c U[b,c] x[c] on the middle axis, complex as split real.
+
+    u_ref: SMEM (2, 2, 2) — [re/im, row, col].
+    x/o refs: VMEM blocks (B_out, 2, B_in).
+    """
+    xr0 = xr_ref[:, 0, :]
+    xr1 = xr_ref[:, 1, :]
+    xi0 = xi_ref[:, 0, :]
+    xi1 = xi_ref[:, 1, :]
+
+    for row in range(2):
+        ur0 = u_ref[0, row, 0]
+        ur1 = u_ref[0, row, 1]
+        ui0 = u_ref[1, row, 0]
+        ui1 = u_ref[1, row, 1]
+        or_ref[:, row, :] = ur0 * xr0 - ui0 * xi0 + ur1 * xr1 - ui1 * xi1
+        oi_ref[:, row, :] = ur0 * xi0 + ui0 * xr0 + ur1 * xi1 + ui1 * xr1
+
+
+@partial(jax.jit, static_argnames=("qubit", "num_qubits", "interpret"))
+def apply_1q(state_re: jax.Array, state_im: jax.Array, u: jax.Array,
+             qubit: int, num_qubits: int, *, interpret: bool = False):
+    """Apply a single-qubit unitary to a split-real statevector.
+
+    state_re/state_im: shape (2**num_qubits,) float32.
+    u: (2, 2) complex (host or device) — passed to SMEM as (2,2,2) float.
+    Returns (out_re, out_im).
+    """
+    N = num_qubits
+    outer = 1 << qubit
+    inner = 1 << (N - qubit - 1)
+    if inner < 128:
+        raise ValueError("apply_1q pallas kernel requires inner >= 128; use the XLA path")
+
+    u = jnp.asarray(u)
+    u_split = jnp.stack([u.real, u.imag]).astype(jnp.float32)
+
+    b_in = min(inner, 1024)
+    b_out = min(outer, max(1, 8 * 1024 // b_in))
+    grid = (outer // b_out, inner // b_in)
+
+    shape3 = (outer, 2, inner)
+    xr = state_re.reshape(shape3)
+    xi = state_im.reshape(shape3)
+
+    spec = pl.BlockSpec((b_out, 2, b_in), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM)
+    out_shape = [jax.ShapeDtypeStruct(shape3, jnp.float32)] * 2
+    out_re, out_im = pl.pallas_call(
+        _mix_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            spec, spec,
+        ],
+        out_specs=[spec, spec],
+        out_shape=out_shape,
+        interpret=interpret,
+    )(u_split, xr, xi)
+    return out_re.reshape(-1), out_im.reshape(-1)
+
+
+def apply_1q_xla(state_re, state_im, u, qubit: int, num_qubits: int):
+    """Reference XLA implementation of the same split-real update."""
+    N = num_qubits
+    shape3 = (1 << qubit, 2, 1 << (N - qubit - 1))
+    xr = state_re.reshape(shape3)
+    xi = state_im.reshape(shape3)
+    u = jnp.asarray(u)
+    ur = u.real.astype(xr.dtype)
+    ui = u.imag.astype(xr.dtype)
+    out_r = jnp.einsum("bc,acj->abj", ur, xr) - jnp.einsum("bc,acj->abj", ui, xi)
+    out_i = jnp.einsum("bc,acj->abj", ur, xi) + jnp.einsum("bc,acj->abj", ui, xr)
+    return out_r.reshape(-1), out_i.reshape(-1)

@@ -1,0 +1,45 @@
+"""Pallas gate kernel vs dense reference (interpret mode on CPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from quantum_computations_tpu.ops import pallas_kernels as pk
+
+rng = np.random.default_rng(0)
+
+
+def rand_u():
+    a = rng.normal(size=(2, 2)) + 1j * rng.normal(size=(2, 2))
+    q, _ = np.linalg.qr(a)
+    return q
+
+
+@pytest.mark.parametrize("N,qubit", [(10, 0), (10, 2), (12, 4)])
+def test_apply_1q_matches_xla(N, qubit):
+    u = rand_u()
+    psi = rng.normal(size=2**N).astype(np.float32) + 1j * rng.normal(size=2**N).astype(np.float32)
+    xr = jnp.asarray(psi.real, jnp.float32)
+    xi = jnp.asarray(psi.imag, jnp.float32)
+
+    got_r, got_i = pk.apply_1q(xr, xi, u, qubit, N, interpret=True)
+    want_r, want_i = pk.apply_1q_xla(xr, xi, u, qubit, N)
+    np.testing.assert_allclose(np.asarray(got_r), np.asarray(want_r), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_i), np.asarray(want_i), atol=1e-5)
+
+
+def test_apply_1q_agrees_with_dense():
+    N, qubit = 9, 1
+    u = rand_u()
+    psi = (rng.normal(size=2**N) + 1j * rng.normal(size=2**N)).astype(np.complex64)
+    from quantum_computations_tpu.dv import qop
+    want = np.asarray(qop.apply_unitary(jnp.asarray(psi), jnp.asarray(u, jnp.complex64), (qubit,)))
+    got_r, got_i = pk.apply_1q(
+        jnp.asarray(psi.real), jnp.asarray(psi.imag), u, qubit, N, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got_r) + 1j * np.asarray(got_i), want, atol=1e-5)
+
+
+def test_small_inner_rejected():
+    with pytest.raises(ValueError):
+        pk.apply_1q(jnp.zeros(2**8), jnp.zeros(2**8), np.eye(2), 7, 8, interpret=True)
