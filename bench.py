@@ -80,15 +80,21 @@ def run_tpu() -> float:
     coeffs = logical_coeffs([DVState.ZERO, DVState.ZERO])  # numpy: traced as a literal
     fn = jax.jit(jax.vmap(lambda k: prog.trajectory_with_readout(coeffs, k)))
 
-    keys = jax.random.split(jax.random.PRNGKey(0), BATCH)
-    out = fn(keys)  # compile + warm
-    jax.block_until_ready(out)
+    def run_and_check(key_seed):
+        keys = jax.random.split(jax.random.PRNGKey(key_seed), BATCH)
+        frames, rho_re, rho_im = fn(keys)
+        # Fetch a REAL scalar per call: forces real execution and surfaces
+        # backend errors (block_until_ready alone passes on poisoned buffers).
+        traces = np.asarray(jnp.trace(rho_re, axis1=1, axis2=2))
+        if not np.all(np.isfinite(traces)) or not np.allclose(traces, 1.0, atol=1e-2):
+            raise RuntimeError(f"bench output invalid: traces={traces}")
+        return frames
+
+    run_and_check(0)  # compile + warm + validate
 
     t0 = time.perf_counter()
     for r in range(REPS):
-        keys = jax.random.split(jax.random.PRNGKey(r + 1), BATCH)
-        out = fn(keys)
-    jax.block_until_ready(out)
+        run_and_check(r + 1)
     dt = time.perf_counter() - t0
     return REPS * BATCH / dt
 

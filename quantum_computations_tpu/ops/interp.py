@@ -80,6 +80,38 @@ def fourier(qs: jax.Array, tensor: jax.Array, axis: int = 0, ps: jax.Array | Non
     return whittaker_shannon(_ps, res, ps, axis=axis)
 
 
+def wigner(qs: jax.Array, state: jax.Array, ps: jax.Array | None = None):
+    """Wigner function of a grid wavefunction.
+
+    W(q, p) = (1/pi) \\int dy psi*(q+y) psi(q-y) e^{2ipy}, evaluated by a
+    dense phase-kernel contraction over the grid (the reference declares this
+    NotImplemented, ``cv utils.py:6-7``). Returns (ps, W) with W shape
+    (len(qs), len(ps)).
+    """
+    qs = jnp.asarray(qs)
+    state = jnp.asarray(state)
+    if ps is None:
+        ps = qs
+    d = qs.shape[0]
+    dq = (qs[-1] - qs[0]) / (d - 1)
+    # y on the same grid spacing, centered: y_k = (k - d//2) * dq
+    ys = (jnp.arange(d) - d // 2) * dq
+
+    # psi(q + y) and psi(q - y) via index shifts with zero fill
+    iq = jnp.arange(d)[:, None]
+    iy = (jnp.arange(d) - d // 2)[None, :]
+    ip = iq + iy
+    im = iq - iy
+    valid = (ip >= 0) & (ip < d) & (im >= 0) & (im < d)
+    ip = jnp.clip(ip, 0, d - 1)
+    im = jnp.clip(im, 0, d - 1)
+    corr = jnp.conj(state)[ip] * state[im] * valid  # (q, y)
+
+    phase = jnp.exp(2j * jnp.outer(ys, ps))  # (y, p)
+    W = jnp.tensordot(corr, phase, axes=(1, 0), precision=PRECISION) * dq / jnp.pi
+    return ps, W.real
+
+
 def warp_2d(qs: jax.Array, tensor: jax.Array, x_src: jax.Array, y_src: jax.Array):
     """Bilinear resample of the two middle axes of an (a, d, d, b) tensor.
 
