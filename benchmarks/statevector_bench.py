@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Per-gate timing of the DV statevector engine on large qubit counts.
+
+The north-star metric of BASELINE.md: per-gate time at a >=28-qubit state
+vector, compared against the HBM roofline (every amplitude read + written
+once per gate: 2 * 8 bytes * 2^N of traffic in complex64 / 2 * 2 * 4 bytes in
+split-real float32).
+
+Runs BOTH paths:
+- XLA: complex64 tensordot contraction (dv.qop.apply_unitary) inside one jit;
+- Pallas: split-real fused branch-mix kernel (ops.pallas_kernels.apply_1q).
+
+All device interaction uses real-valued boundaries (the axon TPU backend
+cannot transfer complex buffers). Prints one JSON line per configuration.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from functools import partial
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N = int(os.environ.get("QCT_SV_QUBITS", 28))
+REPS = int(os.environ.get("QCT_SV_REPS", 3))
+HBM_GBPS = float(os.environ.get("QCT_SV_HBM_GBPS", 819.0))  # v5e
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from quantum_computations_tpu.dv import qop
+    from quantum_computations_tpu.ops import pallas_kernels as pk
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
+
+    H = np.asarray(qop.H)
+    # gates on a spread of qubit positions (all with inner >= 128 for pallas)
+    targets = [0, 3, N // 2, N - 9, 5, N // 3]
+    n_gates = len(targets)
+
+    # ---- XLA complex path (complex stays on device) -----------------------
+    @jax.jit
+    def xla_chain(seed):
+        key = jax.random.PRNGKey(seed)
+        # random-ish real init built in-trace; normalised
+        v = jax.random.normal(key, (2**N,), dtype=jnp.float32)
+        state = (v / jnp.linalg.norm(v)).astype(jnp.complex64)
+        for q in targets:
+            state = qop.apply_unitary(state, jnp.asarray(H, jnp.complex64), (q,))
+        return jnp.sum(jnp.abs(state) ** 2)
+
+    t0 = time.perf_counter()
+    out = float(xla_chain(0))
+    compile_s = time.perf_counter() - t0
+    assert abs(out - 1.0) < 1e-3, out
+    t0 = time.perf_counter()
+    for r in range(REPS):
+        out = float(xla_chain(r + 1))
+    xla_dt = (time.perf_counter() - t0) / (REPS * n_gates)
+
+    bytes_complex = 2 * 8 * 2**N  # read + write complex64
+    roofline_c = bytes_complex / (HBM_GBPS * 1e9)
+    print(json.dumps({
+        "metric": "dv_per_gate_time_xla", "qubits": N,
+        "value_ms": round(xla_dt * 1e3, 3),
+        "roofline_ms": round(roofline_c * 1e3, 3),
+        "x_of_roofline": round(xla_dt / roofline_c, 2),
+        "compile_s": round(compile_s, 1),
+    }), flush=True)
+
+    # ---- Pallas split-real path ------------------------------------------
+    interpret = jax.default_backend() == "cpu"
+
+    @jax.jit
+    def pallas_chain(seed):
+        key = jax.random.PRNGKey(seed)
+        v = jax.random.normal(key, (2**N,), dtype=jnp.float32)
+        xr = v / jnp.linalg.norm(v)
+        xi = jnp.zeros_like(xr)
+        for q in targets:
+            xr, xi = pk.apply_1q(xr, xi, jnp.asarray(H, jnp.complex64), q, N,
+                                 interpret=interpret)
+        return jnp.sum(xr * xr + xi * xi)
+
+    t0 = time.perf_counter()
+    out = float(pallas_chain(0))
+    compile_s = time.perf_counter() - t0
+    assert abs(out - 1.0) < 1e-3, out
+    t0 = time.perf_counter()
+    for r in range(REPS):
+        out = float(pallas_chain(r + 1))
+    pl_dt = (time.perf_counter() - t0) / (REPS * n_gates)
+
+    bytes_real = 2 * 2 * 4 * 2**N  # two planes, read + write float32
+    roofline_r = bytes_real / (HBM_GBPS * 1e9)
+    print(json.dumps({
+        "metric": "dv_per_gate_time_pallas", "qubits": N,
+        "value_ms": round(pl_dt * 1e3, 3),
+        "roofline_ms": round(roofline_r * 1e3, 3),
+        "x_of_roofline": round(pl_dt / roofline_r, 2),
+        "compile_s": round(compile_s, 1),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

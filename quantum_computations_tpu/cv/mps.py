@@ -114,6 +114,17 @@ class MPS:
         result = jnp.einsum("ab,aic,bjd,cd->ij", left, t, jnp.conj(t), right, precision=PRECISION)
         return result * self.diff ** (len(self.tensors) - 1)
 
+    def density_mps(self) -> list[jax.Array]:
+        """Density-operator MPS: per-site tensors with two physical axes,
+        D_k = t_k (x) conj(t_k) reshaped to (l^2, d, d, r^2). (The reference
+        declares this NotImplemented, mps.py:172-174.)"""
+        out = []
+        for t in self.tensors:
+            l, d, r = t.shape
+            D = jnp.einsum("aib,cjd->acijbd", t, jnp.conj(t))
+            out.append(D.reshape(l * l, d, d, r * r))
+        return out
+
     @staticmethod
     def fidelity(a: "MPS", b: "MPS") -> jax.Array:
         """|<a|b>|^2 with the grid measure (corrected semantics; see module doc)."""

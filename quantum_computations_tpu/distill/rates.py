@@ -72,6 +72,17 @@ def compute_distillation_data(path: str, r_rel: np.ndarray, Ms: np.ndarray) -> n
 
 
 @dataclass
+class DatasetConfig:
+    """Binds the physical parameters to a sequence dataset (reference
+    rate_plot.ipynb cell 3)."""
+
+    p_bell: float
+    p_target: float
+    sequence_file: str
+    label: str = ""
+
+
+@dataclass
 class RateArgs:
     r_rel: np.ndarray
     Ms: np.ndarray

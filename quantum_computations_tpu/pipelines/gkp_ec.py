@@ -117,3 +117,78 @@ def logical_fidelity(qs, state) -> float:
     rho = full_logical_density(qs, state)
     rho = rho / jnp.trace(rho)
     return float(jnp.trace(rho @ rho).real)
+
+
+# -- plotting helpers (reference utils.py:123-209) ---------------------------
+
+def get_tickmarks(lo, hi, alt_labels: bool = False):
+    """sqrt(pi)-lattice tick positions and labels for phase-space plots."""
+    ns = np.arange(round(lo / SQPI), round(hi / SQPI) + 1, 1)
+    ticks = ns * SQPI
+    if alt_labels:
+        labels = np.array([str(n) for n in ns], dtype=object)
+    else:
+        labels = []
+        for n in ns:
+            if n == 0:
+                labels.append(r"$0$")
+                continue
+            prefix = {-1: "-", 1: ""}.get(n, str(n))
+            labels.append("$" + prefix + r"\sqrt{\pi}$")
+        labels = np.array(labels, dtype=object)
+    labels[ns % 2 == 1] = ""
+    return ticks, list(labels)
+
+
+def plot_single_mode(xs, state):
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(1, 1, figsize=(8, 3))
+    ax.plot(xs, np.real(state), "k-", label=r"$\mathrm{Re}(\psi(q))$")
+    ax.plot(xs, np.imag(state), "r--", label=r"$\mathrm{Im}(\psi(q))$")
+    ax.set_xticks(*get_tickmarks(min(xs), max(xs), True))
+    ax.set_xlabel(r"$q/\sqrt{\pi}$")
+    ax.legend()
+    fig.tight_layout()
+    return fig, ax
+
+
+def plot_two_mode(x, y, state, projections: bool = False):
+    import matplotlib.pyplot as plt
+
+    fig = plt.figure(figsize=(6, 6))
+    state = np.asarray(state)
+    if projections:
+        gs = fig.add_gridspec(2, 2, width_ratios=(4, 1), height_ratios=(1, 4),
+                              left=0.1, right=0.9, bottom=0.1, top=0.9,
+                              wspace=0.05, hspace=0.05)
+        ax = fig.add_subplot(gs[1, 0])
+        ax_x = fig.add_subplot(gs[0, 0], sharex=ax)
+        ax_y = fig.add_subplot(gs[1, 1], sharey=ax)
+        dx = (x[-1] - x[0]) / len(x)
+        dy = (y[-1] - y[0]) / len(y)
+        y_int = np.einsum("ij,ij->i", state, state.conj()).real * dy
+        x_int = np.einsum("ij,ij->j", state, state.conj()).real * dx
+        span = (min(x_int.min(), y_int.min()), max(x_int.max(), y_int.max()))
+        width = span[1] - span[0]
+        lims = (span[0] - width / 10, span[1] + width / 10)
+        ax_x.plot(x, y_int, "k-")
+        ax_x.grid(axis="x")
+        ax_x.tick_params(axis="x", labelbottom=False)
+        ax_x.set_ylim(*lims)
+        ax_y.plot(x_int, y, "k-")
+        ax_y.grid(axis="y")
+        ax_y.tick_params(axis="y", labelleft=False)
+        ax_y.set_xlim(*lims)
+        axs = [ax, ax_x, ax_y]
+    else:
+        ax = fig.add_subplot(1, 1, 1)
+        axs = ax
+
+    ax.contour(*np.meshgrid(x, y, indexing="ij"), np.abs(state), 10, colors="Black")
+    ax.set_xticks(*get_tickmarks(min(x), max(x), True))
+    ax.set_xlabel(r"$q_1/\sqrt{\pi}$")
+    ax.set_yticks(*get_tickmarks(min(y), max(y), True))
+    ax.set_ylabel(r"$q_2/\sqrt{\pi}$")
+    ax.grid()
+    return fig, axs
