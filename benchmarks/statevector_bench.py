@@ -53,7 +53,7 @@ def main():
         v = jax.random.normal(key, (2**N,), dtype=jnp.float32)
         state = (v / jnp.linalg.norm(v)).astype(jnp.complex64)
         for q in targets:
-            state = qop.apply_unitary(state, jnp.asarray(H, jnp.complex64), (q,))
+            state = qop.apply_unitary_grouped(state, jnp.asarray(H, jnp.complex64), (q,))
         return jnp.sum(jnp.abs(state) ** 2)
 
     t0 = time.perf_counter()

@@ -329,6 +329,41 @@ def apply_unitary(state, matrix, targets: tuple[int, ...]):
     return psi.transpose(perm).reshape(-1)
 
 
+def apply_unitary_grouped(state, matrix, targets: tuple[int, ...]):
+    """Gate application via axis-GROUPED reshapes (rank <= 5 tensors).
+
+    Equivalent to :func:`apply_unitary` but scalable to large N: the rank-N
+    (2,)*N view used there makes XLA's shape analysis explode past ~20 qubits
+    (the TPU compile helper OOMs); this variant reshapes the state to
+    (outer, 2, mid, 2, inner) style groups instead. Supports k in {1, 2}.
+    """
+    N = num_qubits(state)
+    k = len(targets)
+    op = jnp.asarray(matrix, dtype=state.dtype)
+    if k == 1:
+        q = targets[0]
+        outer, inner = 1 << q, 1 << (N - q - 1)
+        psi = state.reshape(outer, 2, inner)
+        psi = jnp.einsum("bc,acj->abj", op, psi, precision=PRECISION)
+        return psi.reshape(-1)
+    if k == 2:
+        q1, q2 = targets
+        swap = q1 > q2
+        lo, hi = sorted(targets)
+        # op axes ordered (t1, t2); if q1 > q2 the tensor factors must swap.
+        u = op.reshape(2, 2, 2, 2)
+        if swap:
+            u = jnp.permute_dims(u, (1, 0, 3, 2))
+        outer = 1 << lo
+        mid = 1 << (hi - lo - 1)
+        inner = 1 << (N - hi - 1)
+        psi = state.reshape(outer, 2, mid, 2, inner)
+        # out[o,x,m,y,i] = sum_{c,e} u[x,y,c,e] psi[o,c,m,e,i]
+        psi = jnp.einsum("xyce,ocmei->oxmyi", u, psi, precision=PRECISION)
+        return psi.reshape(-1)
+    raise NotImplementedError("grouped application supports 1- and 2-qubit gates")
+
+
 def apply_unitary_dm(rho, matrix, targets: tuple[int, ...]):
     """Apply a k-qubit unitary to a density matrix: U rho U^dagger."""
     N = num_qubits(rho)

@@ -37,9 +37,17 @@ def state_spec(mesh: Mesh, N: int) -> NamedSharding:
 
 
 def _apply(state: jax.Array, matrix: jax.Array, targets: tuple[int, ...]) -> jax.Array:
-    """k-qubit unitary contraction on a rank-N state tensor."""
+    """k-qubit unitary contraction on a rank-N state tensor.
+
+    For 1- and 2-qubit gates on large states the axis-grouped path is used
+    (rank <= 5 intermediates — the rank-N tensordot path makes XLA's shape
+    analysis explode past ~20 qubits).
+    """
     N = state.ndim
     kk = len(targets)
+    if kk <= 2 and N > 14:
+        flat = qop.apply_unitary_grouped(state.reshape(-1), matrix, targets)
+        return flat.reshape(state.shape)
     op = matrix.reshape((2,) * (2 * kk)).astype(state.dtype)
     psi = jnp.tensordot(op, state, axes=(tuple(range(kk, 2 * kk)), targets),
                         precision=PRECISION)
