@@ -41,9 +41,31 @@ def main():
                       os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
 
     H = np.asarray(qop.H)
-    # gates on a spread of qubit positions (all with inner >= 128 for pallas)
-    targets = [0, 3, N // 2, N - 9, 5, N // 3]
+    # gates on a spread of qubit positions (all with inner >= 128 for pallas);
+    # long chain amortises the in-trace init + reduction
+    base = [0, 3, N // 2, N - 9, 5, N // 3]
+    targets = (base * 4)[:24]
     n_gates = len(targets)
+
+    # ---- achievable-bandwidth calibration (pure elementwise pass) ---------
+    @jax.jit
+    def copy_chain(seed):
+        v = jax.random.normal(jax.random.PRNGKey(seed), (2**N,), dtype=jnp.float32)
+        for _ in range(8):
+            v = v * 1.0000001 + 0.0
+        return jnp.sum(v[:128])
+
+    float(copy_chain(0))
+    t0 = time.perf_counter()
+    for r in range(REPS):
+        float(copy_chain(r + 1))
+    per_pass = (time.perf_counter() - t0) / (REPS * 8)
+    achieved_gbps = 2 * 4 * 2**N / per_pass / 1e9
+    print(json.dumps({
+        "metric": "hbm_achieved", "qubits": N,
+        "elementwise_pass_ms": round(per_pass * 1e3, 3),
+        "achieved_GBps": round(achieved_gbps, 1),
+    }), flush=True)
 
     # ---- XLA complex path (complex stays on device) -----------------------
     @jax.jit

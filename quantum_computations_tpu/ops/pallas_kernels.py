@@ -29,23 +29,33 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _mix_kernel(u_ref, xr_ref, xi_ref, or_ref, oi_ref):
-    """out[b] = sum_c U[b,c] x[c] on the middle axis, complex as split real.
+    """out[b] = sum_c U[b,c] x[c], complex as split real.
 
-    u_ref: SMEM (2, 2, 2) — [re/im, row, col].
-    x/o refs: VMEM blocks (B_out, 2, B_in).
+    The state is viewed as a dense 2D array (outer*2, inner): row 2o holds the
+    qubit-0 branch of outer index o, row 2o+1 the qubit-1 branch. Blocks are
+    dense (B_r, B_in) tiles (full sublane utilisation); the branch split is a
+    value-level reshape inside the kernel.
+
+    u_ref: SMEM (2, 2, 2) — [re/im, row, col]; x/o refs: VMEM (B_r, B_in).
     """
-    xr0 = xr_ref[:, 0, :]
-    xr1 = xr_ref[:, 1, :]
-    xi0 = xi_ref[:, 0, :]
-    xi1 = xi_ref[:, 1, :]
+    br, bi = xr_ref.shape
+    xr = xr_ref[:].reshape(br // 2, 2, bi)
+    xi = xi_ref[:].reshape(br // 2, 2, bi)
+    xr0, xr1 = xr[:, 0, :], xr[:, 1, :]
+    xi0, xi1 = xi[:, 0, :], xi[:, 1, :]
 
+    rows_r = []
+    rows_i = []
     for row in range(2):
         ur0 = u_ref[0, row, 0]
         ur1 = u_ref[0, row, 1]
         ui0 = u_ref[1, row, 0]
         ui1 = u_ref[1, row, 1]
-        or_ref[:, row, :] = ur0 * xr0 - ui0 * xi0 + ur1 * xr1 - ui1 * xi1
-        oi_ref[:, row, :] = ur0 * xi0 + ui0 * xr0 + ur1 * xi1 + ui1 * xr1
+        rows_r.append(ur0 * xr0 - ui0 * xi0 + ur1 * xr1 - ui1 * xi1)
+        rows_i.append(ur0 * xi0 + ui0 * xr0 + ur1 * xi1 + ui1 * xr1)
+
+    or_ref[:] = jnp.stack(rows_r, axis=1).reshape(br, bi)
+    oi_ref[:] = jnp.stack(rows_i, axis=1).reshape(br, bi)
 
 
 @partial(jax.jit, static_argnames=("qubit", "num_qubits", "interpret"))
@@ -66,16 +76,17 @@ def apply_1q(state_re: jax.Array, state_im: jax.Array, u: jax.Array,
     u = jnp.asarray(u)
     u_split = jnp.stack([u.real, u.imag]).astype(jnp.float32)
 
-    b_in = min(inner, 1024)
-    b_out = min(outer, max(1, 8 * 1024 // b_in))
-    grid = (outer // b_out, inner // b_in)
+    rows = outer * 2  # row 2o+b = branch b of outer index o (pure view)
+    b_in = min(inner, 2048)
+    b_r = min(rows, max(2, 16 * 2048 // b_in))
+    grid = (rows // b_r, inner // b_in)
 
-    shape3 = (outer, 2, inner)
-    xr = state_re.reshape(shape3)
-    xi = state_im.reshape(shape3)
+    shape2 = (rows, inner)
+    xr = state_re.reshape(shape2)
+    xi = state_im.reshape(shape2)
 
-    spec = pl.BlockSpec((b_out, 2, b_in), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM)
-    out_shape = [jax.ShapeDtypeStruct(shape3, jnp.float32)] * 2
+    spec = pl.BlockSpec((b_r, b_in), lambda i, j: (i, j), memory_space=pltpu.VMEM)
+    out_shape = [jax.ShapeDtypeStruct(shape2, jnp.float32)] * 2
     out_re, out_im = pl.pallas_call(
         _mix_kernel,
         grid=grid,
