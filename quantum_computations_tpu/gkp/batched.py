@@ -1,0 +1,244 @@
+"""Per-gadget-jit batched GKP runner.
+
+:class:`.compiled.CompiledGKP` traces a WHOLE circuit into one XLA program —
+ideal steady-state throughput, but compile time grows with circuit depth and
+every random circuit is a fresh compile. This runner instead jits one
+executor per (gadget kind, chain-shape signature) and reuses it across
+layers, circuits and sweeps: a depth-20 RB sweep compiles ~6 small programs
+total instead of one huge program per random circuit.
+
+Structure:
+- gadget executors are jitted, vmapped pure functions over batched MPS
+  tensors + per-trajectory real parameter arrays (angles, syndrome signs,
+  Bell phases) + PRNG keys;
+- the Pauli frame, layer syndromes and classical feed-forward live on the
+  HOST as small NumPy integer arrays (syndromes are fetched per gadget —
+  int/real transfers work on every backend; complex tensors never leave the
+  device);
+- readout (logical rho + syndrome correction) is one more cached executor.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SVDOptions
+from ..cv import gates as cvg
+from ..cv.mps import MPS
+from ..dv import gates as dv_gates
+from ..dv.simulator import ClassicalControl
+from ..utils import as_key
+from .compiled import ARCTAN2, _homodyne, _insert_bell, _syndrome_from, _two_mode_gadget
+from .gates import MB2Type
+from .transpiler import MBGKPCircuit
+from .utils import full_logical_density_mps
+
+SQPI = np.sqrt(np.pi)
+
+
+class BatchedGKP:
+    def __init__(self, qs, ancilla_epsilon, svd_options: SVDOptions | dict | None = None):
+        self.qs = np.asarray(qs)
+        self.epsilon = ancilla_epsilon
+        if isinstance(svd_options, dict):
+            svd_options = SVDOptions(**svd_options)
+        self.opts = svd_options or SVDOptions()
+        self._cache: dict = {}
+
+    # ------------------------------------------------------------------
+    def _shapes(self, tensors) -> tuple:
+        return tuple(t.shape[1:] for t in tensors)  # strip batch axis
+
+    def _get(self, key, builder):
+        fn = self._cache.get(key)
+        if fn is None:
+            fn = jax.jit(jax.vmap(builder))
+            self._cache[key] = fn
+        return fn
+
+    # ------------------------------------------------------------------
+    def _single(self, tensors, idx, meas_a2, syn_a1, syn_a2, bell_phase, keys,
+                *, a1, a1_zero):
+        """Single-mode gadget executor (I/P/T family and H).
+
+        a1 (static) is the first measured angle; syn_a1/syn_a2 (per-trajectory
+        arrays) enter the syndrome formula — they differ from the measured
+        angles only for Pauli-frame-flipped T gadgets.
+        """
+        sig = ("single", idx, a1, a1_zero, self._shapes(tensors))
+
+        def body(tensor_tuple, m_a2, s_a1, s_a2, b_phase, key):
+            mps = MPS(self.qs, list(tensor_tuple))
+            coeff = jnp.exp(1j * b_phase)
+            k1, k2, k3, k4 = jax.random.split(key, 4)
+            _insert_bell(mps, idx + 1, coeff, self.epsilon, self.opts, k1)
+            cvg.BS(idx, idx + 1).apply(mps, key=k2, svd_options=self.opts)
+            m_first = _homodyne(mps, idx, a1, k3, static_zero=a1_zero)
+            m_second = _homodyne(mps, idx, m_a2, k4)
+            s = _syndrome_from(s_a1, s_a2, m_first, m_second)
+            return tuple(mps.tensors), jnp.stack([s[0], s[1]])
+
+        fn = self._get(sig, body)
+        out_tensors, synd = fn(tuple(tensors), meas_a2, syn_a1, syn_a2, bell_phase, keys)
+        return list(out_tensors), synd
+
+    def _two(self, tensors, idx, mb2type: MB2Type, keys):
+        sig = ("two", idx, mb2type, self._shapes(tensors))
+
+        def body(tensor_tuple, key):
+            mps = MPS(self.qs, list(tensor_tuple))
+            (s1, s2) = _two_mode_gadget(mps, idx, mb2type, False, self.epsilon, self.opts, key)
+            return tuple(mps.tensors), jnp.stack([
+                jnp.stack([s1[0], s1[1]]), jnp.stack([s2[0], s2[1]]),
+            ])
+
+        fn = self._get(sig, body)
+        out_tensors, synd = fn(tuple(tensors), keys)
+        return list(out_tensors), synd
+
+    # ------------------------------------------------------------------
+    def init_tensors(self, coeffs: np.ndarray, batch: int):
+        """Batched initial product state from (N,2,2) real logical coeffs."""
+        from ..cv.states import State as CVState
+
+        sig = ("init", coeffs.shape, batch)
+
+        def body(_):
+            qs = jnp.asarray(self.qs)
+            tensors = []
+            for i in range(coeffs.shape[0]):
+                a = coeffs[i, 0, 0] + 1j * coeffs[i, 0, 1]
+                b = coeffs[i, 1, 0] + 1j * coeffs[i, 1, 1]
+                psi = CVState.GKP_ZERO.eval(qs, self.epsilon) * a \
+                    + CVState.GKP_ONE.eval(qs, self.epsilon) * b
+                norm = jnp.sqrt(jnp.sum(jnp.abs(psi) ** 2) * (qs[1] - qs[0]))
+                tensors.append((psi / norm).reshape(1, -1, 1))
+            return tuple(tensors)
+
+        fn = self._get(sig, body)
+        return list(fn(jnp.zeros((batch,), jnp.float32)))
+
+    def readout(self, tensors, frames: np.ndarray):
+        """Syndrome-corrected logical rho for a batch: (rho_re, rho_im)."""
+        N = int(np.log2(2) * 0 + len(frames[0]))  # frames (n, N, 2)
+        sig = ("readout", self._shapes(tensors))
+
+        def body(tensor_tuple, frame):
+            mps = MPS(self.qs, list(tensor_tuple))
+            rho = full_logical_density_mps(mps)
+            X = jnp.array([[0.0, 1.0], [1.0, 0.0]], dtype=rho.dtype)
+            Z = jnp.array([[1.0, 0.0], [0.0, -1.0]], dtype=rho.dtype)
+            I2 = jnp.eye(2, dtype=rho.dtype)
+            corr = jnp.ones((1, 1), dtype=rho.dtype)
+            for i in range(len(tensor_tuple)):
+                m = jnp.where(frame[i, 1] == 1, Z, I2)
+                m = jnp.where(frame[i, 0] == 1, X @ m, m)
+                corr = jnp.kron(corr, m)
+            rho = corr @ rho @ corr.conj().T
+            rho = rho / jnp.trace(rho)
+            return rho.real, rho.imag
+
+        fn = self._get(sig, body)
+        return fn(tuple(tensors), jnp.asarray(frames, jnp.int32))
+
+    # ------------------------------------------------------------------
+    def run_circuit(self, circuit: MBGKPCircuit, coeffs: np.ndarray, batch: int,
+                    rng_seed=0):
+        """Run `batch` trajectories of a transpiled circuit.
+
+        Returns (tensors [batched], frames (batch, N, 2) numpy).
+        """
+        N = circuit._N
+        key = as_key(rng_seed)
+        tensors = self.init_tensors(np.asarray(coeffs, np.float32), batch)
+
+        frame = np.zeros((batch, N, 2), dtype=np.int32)
+        prev_synd = np.zeros((batch, N, 2), dtype=np.int32)
+        ones = np.ones(batch, np.float32)
+
+        for layer in circuit._layers:
+            cur_synd = np.zeros((batch, N, 2), dtype=np.int32)
+            for gate in layer.gates:
+                key, sub = jax.random.split(key)
+                keys = jax.random.split(sub, batch)
+
+                if isinstance(gate, ClassicalControl):
+                    idx = gate.gate.indices[0]
+                    cond = prev_synd[:, idx, 0]
+                    dg = isinstance(gate.gate, dv_gates.Pdg)
+                    p_angle = -ARCTAN2 if dg else ARCTAN2
+                    a2 = np.where(cond == 1, p_angle, np.pi / 2).astype(np.float32)
+                    frame[:, idx, 1] ^= cond & frame[:, idx, 0]
+                    tensors, synd = self._single(
+                        tensors, idx, a2, 0.0 * ones, a2, 0.0 * ones, keys,
+                        a1=0.0, a1_zero=True)
+                    cur_synd[:, idx, :] = np.asarray(synd)
+                    continue
+
+                t = type(gate)
+                if t in (dv_gates.T, dv_gates.Tdg):
+                    idx = gate.indices[0]
+                    base = -1.0 if t is dv_gates.Tdg else 1.0
+                    sgn = np.where(frame[:, idx, 0] == 1, -base, base).astype(np.float32)
+                    tensors, synd = self._single(
+                        tensors, idx, (np.pi / 2) * ones, 0.0 * ones,
+                        sgn * np.pi / 2, sgn * np.pi / 8, keys,
+                        a1=0.0, a1_zero=True)
+                    cur_synd[:, idx, :] = np.asarray(synd)
+                    continue
+
+                # frame commutation for static Clifford gates
+                if t is dv_gates.H:
+                    idx = gate.indices[0]
+                    frame[:, idx, :] = frame[:, idx, ::-1]
+                elif t in (dv_gates.P, dv_gates.Pdg):
+                    idx = gate.indices[0]
+                    frame[:, idx, 1] ^= frame[:, idx, 0]
+                elif t is dv_gates.CZ:
+                    i, j = gate.indices
+                    zi = frame[:, i, 1] ^ frame[:, j, 0]
+                    zj = frame[:, j, 1] ^ frame[:, i, 0]
+                    frame[:, i, 1], frame[:, j, 1] = zi, zj
+                elif t is dv_gates.SWAP:
+                    i, j = gate.indices
+                    frame[:, [i, j], :] = frame[:, [j, i], :]
+
+                if t is dv_gates.I:
+                    idx = gate.indices[0]
+                    tensors, synd = self._single(
+                        tensors, idx, (np.pi / 2) * ones, 0.0 * ones,
+                        (np.pi / 2) * ones, 0.0 * ones, keys, a1=0.0, a1_zero=True)
+                    cur_synd[:, idx, :] = np.asarray(synd)
+                elif t is dv_gates.H:
+                    idx = gate.indices[0]
+                    tensors, synd = self._single(
+                        tensors, idx, (-np.pi / 4) * ones, (np.pi / 4) * ones,
+                        (-np.pi / 4) * ones, 0.0 * ones, keys,
+                        a1=np.pi / 4, a1_zero=False)
+                    cur_synd[:, idx, :] = np.asarray(synd)
+                elif t in (dv_gates.P, dv_gates.Pdg):
+                    idx = gate.indices[0]
+                    a2 = (-ARCTAN2 if t is dv_gates.Pdg else ARCTAN2) * ones
+                    tensors, synd = self._single(
+                        tensors, idx, a2, 0.0 * ones, a2, 0.0 * ones, keys,
+                        a1=0.0, a1_zero=True)
+                    cur_synd[:, idx, :] = np.asarray(synd)
+                elif t is dv_gates.CZ:
+                    idx = min(gate.indices)
+                    tensors, synd = self._two(tensors, idx, MB2Type.CZ, keys)
+                    cur_synd[:, idx:idx + 2, :] = np.asarray(synd)
+                elif t is dv_gates.SWAP:
+                    idx = min(gate.indices)
+                    tensors, synd = self._two(tensors, idx, MB2Type.SWAP, keys)
+                    cur_synd[:, idx:idx + 2, :] = np.asarray(synd)
+                else:
+                    raise NotImplementedError(f"Gate {gate} not supported in batched mode.")
+
+            frame ^= cur_synd
+            frame ^= np.asarray([layer.paulis], dtype=np.int32)
+            prev_synd = cur_synd
+
+        return tensors, frame

@@ -1,0 +1,69 @@
+"""Per-gadget-jit batched runner vs DV reference and compile-reuse behaviour."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from quantum_computations_tpu.config import SVDOptions
+from quantum_computations_tpu.dv import Simulator as DVSimulator, State as DVState, gates as dvg, qop
+from quantum_computations_tpu.gkp import MBGKPCircuit, db2eps
+from quantum_computations_tpu.gkp.batched import BatchedGKP
+from quantum_computations_tpu.gkp.compiled import logical_coeffs
+
+QS = np.linspace(-20, 20, 300)
+EPS = db2eps(10.0)
+SVD = SVDOptions(max_bond_dim=8, rel_err=1e-2)
+
+
+def run_batched(gates, init_states, batch, seed=0):
+    circ = MBGKPCircuit.transpile(gates, len(init_states))
+    circ.fill()
+    runner = BatchedGKP(QS, EPS, SVD)
+    coeffs = logical_coeffs(init_states)
+    tensors, frames = runner.run_circuit(circ, coeffs, batch, rng_seed=seed)
+    rho_re, rho_im = runner.readout(tensors, frames)
+    return np.asarray(rho_re) + 1j * np.asarray(rho_im), runner
+
+
+def test_batched_single_qubit_matches_dv():
+    gates = [dvg.H(0), dvg.T(0)]
+    rhos, _ = run_batched(gates, [DVState.ZERO], batch=6)
+    want = np.asarray(DVSimulator(gates).run([DVState.ZERO]))
+    fids = [float(qop.fidelity(jnp.asarray(want), jnp.asarray(r))) for r in rhos]
+    assert np.mean(fids) > 0.75, fids
+
+
+def test_compile_cache_reused_across_circuits():
+    """A second circuit with the same gadget kinds must add no new executors."""
+    gates1 = [dvg.H(0), dvg.P(0)]
+    gates2 = [dvg.P(0), dvg.H(0), dvg.P(0)]
+    circ1 = MBGKPCircuit.transpile(gates1, 1)
+    circ1.fill()
+    circ2 = MBGKPCircuit.transpile(gates2, 1)
+    circ2.fill()
+    runner = BatchedGKP(QS, EPS, SVD)
+    coeffs = logical_coeffs([DVState.ZERO])
+    runner.run_circuit(circ1, coeffs, 2, rng_seed=0)
+    n_after_first = len(runner._cache)
+    runner.run_circuit(circ2, coeffs, 2, rng_seed=1)
+    assert len(runner._cache) == n_after_first  # same kinds/shapes -> full reuse
+
+
+def test_batched_matches_compiled_distribution():
+    """Batched runner and whole-circuit compiled engine agree statistically."""
+    from quantum_computations_tpu.gkp.compiled import CompiledGKP
+
+    gates = [dvg.H(0)]
+    circ = MBGKPCircuit.transpile(gates, 1)
+    circ.fill()
+    want = np.asarray(DVSimulator(gates).run([DVState.ZERO]))
+
+    rhos, _ = run_batched(gates, [DVState.ZERO], batch=8, seed=3)
+    fid_batched = np.mean([float(qop.fidelity(jnp.asarray(want), jnp.asarray(r))) for r in rhos])
+
+    prog = CompiledGKP(circ, QS, EPS, SVD)
+    frames, rho_re, rho_im = prog.batched_readout(logical_coeffs([DVState.ZERO]), 8, rng_seed=3)
+    rhos_c = np.asarray(rho_re) + 1j * np.asarray(rho_im)
+    fid_comp = np.mean([float(qop.fidelity(jnp.asarray(want), jnp.asarray(r))) for r in rhos_c])
+
+    assert abs(fid_batched - fid_comp) < 0.25, (fid_batched, fid_comp)
+    assert fid_batched > 0.75
