@@ -1,0 +1,210 @@
+"""Explicit-collective sharded statevector (shard_map + all_to_all).
+
+The GSPMD engine (:mod:`.statevector`) lets the XLA partitioner choose the
+communication. This engine makes the distributed-statevector design explicit
+— the standard index-swap scheme of distributed simulators (cf. mpiQulacs,
+arXiv:2203.16044), expressed with jax collectives over ICI:
+
+- the 2^N state lives as a (D, 2^(N-k)) array over a 1-D mesh of D = 2^k
+  devices; the k device-index bits are GLOBAL qubit slots, the remaining
+  N-k bits LOCAL slots;
+- gates on local slots are pure per-device contractions (zero communication);
+- a gate on a global slot first SWAPS that slot with a local slot via one
+  pairwise `lax.all_to_all` (each device exchanges half its block with the
+  partner differing in that device bit) — the swap is LAZY: the engine keeps
+  the new layout and only updates its logical→physical permutation table, so
+  repeated gates on formerly-global qubits pay no further communication.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..config import PRECISION, complex_dtype
+from .mesh import data_mesh
+
+
+def _pair_groups(k: int, bit: int) -> list[list[int]]:
+    """Device-id pairs differing only in device bit `bit` (0 = MSB of k bits)."""
+    D = 1 << k
+    shift = k - 1 - bit
+    groups = []
+    seen = set()
+    for d in range(D):
+        if d in seen:
+            continue
+        partner = d ^ (1 << shift)
+        groups.append([d, partner])
+        seen.add(d)
+        seen.add(partner)
+    return groups
+
+
+class ShardMapStateVector:
+    """N-qubit statevector over D=2^k devices with explicit collectives.
+
+    `self.slot_of[q]` gives the current physical slot of logical qubit q:
+    slots 0..k-1 are device bits (MSB first), slots k..N-1 local bits.
+    """
+
+    def __init__(self, N: int, mesh: Mesh | None = None):
+        self.mesh = mesh if mesh is not None else data_mesh()
+        (self.D,) = (int(np.prod(self.mesh.devices.shape)),)
+        self.k = int(np.log2(self.D))
+        assert 2**self.k == self.D, "device count must be a power of two"
+        self.N = N
+        self.L = N - self.k
+        self.axis = self.mesh.axis_names[0]
+        self.slot_of = list(range(N))  # identity layout initially
+        self._sharding = NamedSharding(self.mesh, P(self.axis))
+
+        @partial(jax.jit, out_shardings=self._sharding)
+        def init():
+            flat = jnp.zeros((2**N,), dtype=complex_dtype()).at[0].set(1.0)
+            return flat.reshape(self.D, -1)
+
+        self.state = init()
+
+    # -- layout helpers -----------------------------------------------------
+    def _local_view_axes(self, local_slot: int):
+        """(pre, 2, post) split of the local block for a local slot."""
+        j = local_slot - self.k
+        pre = 1 << j
+        post = 1 << (self.L - j - 1)
+        return pre, post
+
+    # -- collective swap ----------------------------------------------------
+    def _swap_global_local(self, global_slot: int, local_slot: int):
+        """Exchange a device-bit slot with a local slot (one all_to_all)."""
+        pre, post = self._local_view_axes(local_slot)
+        groups = _pair_groups(self.k, global_slot)
+        axis = self.axis
+
+        @partial(shard_map, mesh=self.mesh, in_specs=P(axis),
+                 out_specs=P(axis))
+        def swap(block):
+            x = block.reshape(1, pre, 2, post)
+            out = jax.lax.all_to_all(x, axis, split_axis=2, concat_axis=2,
+                                     axis_index_groups=groups, tiled=True)
+            return out.reshape(1, -1)
+
+        self.state = jax.jit(swap)(self.state)
+        # lazy layout update: the two slots' occupants exchange places
+        qg = self.slot_of.index(global_slot)
+        ql = self.slot_of.index(local_slot)
+        self.slot_of[qg], self.slot_of[ql] = local_slot, global_slot
+
+    def _ensure_local(self, qubits: tuple[int, ...]):
+        """Swap any globally-stored target qubits into local slots."""
+        for q in qubits:
+            slot = self.slot_of[q]
+            if slot < self.k:
+                # Victim: the local slot whose occupant has the highest logical
+                # index among non-targets — heuristically the least-active
+                # qubit, so hot qubits settle into local slots (lazy layout).
+                target_slots = {self.slot_of[t] for t in qubits}
+                candidates = [s for s in range(self.k, self.N) if s not in target_slots]
+                victim = max(candidates, key=lambda s: self.slot_of.index(s))
+                self._swap_global_local(slot, victim)
+
+    # -- gates --------------------------------------------------------------
+    def apply(self, matrix, qubits: tuple[int, ...]):
+        """Apply a 1- or 2-qubit unitary to logical `qubits`."""
+        self._ensure_local(qubits)
+        slots = tuple(self.slot_of[q] for q in qubits)
+        mat = jnp.asarray(matrix, dtype=complex_dtype())
+        axis = self.axis
+        L = self.L
+        k = self.k
+
+        if len(qubits) == 1:
+            (s,) = slots
+            pre, post = self._local_view_axes(s)
+
+            @partial(shard_map, mesh=self.mesh, in_specs=(P(axis), P()),
+                     out_specs=P(axis))
+            def apply1(block, u):
+                x = block.reshape(pre, 2, post)
+                x = jnp.einsum("bc,acj->abj", u, x, precision=PRECISION)
+                return x.reshape(1, -1)
+
+            self.state = jax.jit(apply1)(self.state, mat)
+            return self
+
+        if len(qubits) == 2:
+            s1, s2 = slots
+            swapped = s1 > s2
+            lo, hi = sorted(slots)
+            u = mat.reshape(2, 2, 2, 2)
+            if swapped:
+                u = jnp.permute_dims(u, (1, 0, 3, 2))
+            jlo, jhi = lo - k, hi - k
+            pre = 1 << jlo
+            mid = 1 << (jhi - jlo - 1)
+            post = 1 << (L - jhi - 1)
+
+            @partial(shard_map, mesh=self.mesh, in_specs=(P(axis), P()),
+                     out_specs=P(axis))
+            def apply2(block, u4):
+                x = block.reshape(pre, 2, mid, 2, post)
+                x = jnp.einsum("xyce,ocmei->oxmyi", u4, x, precision=PRECISION)
+                return x.reshape(1, -1)
+
+            self.state = jax.jit(apply2)(self.state, u)
+            return self
+
+        raise NotImplementedError("1- and 2-qubit gates only")
+
+    # -- observables --------------------------------------------------------
+    def norm(self):
+        axis = self.axis
+
+        @partial(shard_map, mesh=self.mesh, in_specs=P(axis), out_specs=P())
+        def n2(block):
+            return jax.lax.psum(jnp.sum(jnp.abs(block) ** 2), axis)
+
+        return jnp.sqrt(jax.jit(n2)(self.state))
+
+    def probabilities(self, qubit: int):
+        """Marginal (p0, p1) of a logical qubit (works for any layout)."""
+        slot = self.slot_of[qubit]
+        axis = self.axis
+        k = self.k
+
+        if slot < self.k:
+            shift = k - 1 - slot
+
+            @partial(shard_map, mesh=self.mesh, in_specs=P(axis), out_specs=P())
+            def probs(block):
+                me = jax.lax.axis_index(axis)
+                bit = (me >> shift) & 1
+                total = jnp.sum(jnp.abs(block) ** 2)
+                p1 = jax.lax.psum(jnp.where(bit == 1, total, 0.0), axis)
+                p0 = jax.lax.psum(jnp.where(bit == 0, total, 0.0), axis)
+                return jnp.stack([p0, p1])
+
+            return jax.jit(probs)(self.state)
+
+        pre, post = self._local_view_axes(slot)
+
+        @partial(shard_map, mesh=self.mesh, in_specs=P(axis), out_specs=P())
+        def probs_local(block):
+            x = block.reshape(pre, 2, post)
+            p = jnp.sum(jnp.abs(x) ** 2, axis=(0, 2))
+            return jax.lax.psum(p, axis)
+
+        return jax.jit(probs_local)(self.state)
+
+    def to_dense(self):
+        """Gather the full state in LOGICAL qubit order (testing only)."""
+        flat = np.asarray(self.state).reshape(-1)
+        t = flat.reshape((2,) * self.N)
+        # out axis q comes from the physical slot currently holding qubit q
+        t = np.transpose(t, [self.slot_of[q] for q in range(self.N)])
+        return t.reshape(-1)
