@@ -40,12 +40,20 @@ SQPI = np.sqrt(np.pi)
 
 
 class BatchedGKP:
-    def __init__(self, qs, ancilla_epsilon, svd_options: SVDOptions | dict | None = None):
+    def __init__(self, qs, ancilla_epsilon, svd_options: SVDOptions | dict | None = None,
+                 *, adaptive: bool = False):
+        """adaptive=True enables rank-adaptive bond trimming: after each
+        gadget the true bond ranks are measured on-device (integer fetch),
+        the batch-maximum is bucketed, and tensors are sliced by cached
+        executors. This restores dynamic-rank memory behaviour on
+        accelerators (static caps at chi=100, d=1000 would not fit HBM) at
+        the price of extra compiles when new shape signatures appear."""
         self.qs = np.asarray(qs)
         self.epsilon = ancilla_epsilon
         if isinstance(svd_options, dict):
             svd_options = SVDOptions(**svd_options)
         self.opts = svd_options or SVDOptions()
+        self.adaptive = adaptive
         self._cache: dict = {}
 
     # ------------------------------------------------------------------
@@ -98,6 +106,55 @@ class BatchedGKP:
         fn = self._get(sig, body)
         out_tensors, synd = fn(tuple(tensors), keys)
         return list(out_tensors), synd
+
+    # ------------------------------------------------------------------
+    def _bond_ranks(self, tensors) -> np.ndarray:
+        """Batch-max true rank of every bond (truncated directions are exact
+        zeros, so rank = highest nonzero bond column + 1)."""
+        sig = ("ranks", self._shapes(tensors))
+
+        def body(*tensor_tuple):
+            out = []
+            for t in tensor_tuple[:-1]:
+                # t: (batch, l, d, r); column norms over the RIGHT bond
+                norms = jnp.sum(jnp.abs(t) ** 2, axis=(1, 2))  # (batch, r)
+                idx = jnp.arange(t.shape[-1])[None, :]
+                rank = jnp.max(jnp.where(norms > 0, idx + 1, 0))
+                out.append(rank)
+            return jnp.stack(out) if out else jnp.zeros((0,), jnp.int32)
+
+        fn = self._cache.get(sig)
+        if fn is None:
+            fn = jax.jit(body)  # operates on full batched tensors (no vmap)
+            self._cache[sig] = fn
+        return np.asarray(fn(*tensors))
+
+    def _trim_tensors(self, tensors):
+        """Slice all bonds down to bucketed batch-max true ranks."""
+        from ..ops.linalg import bucket
+
+        if len(tensors) < 2:
+            return tensors
+        ranks = self._bond_ranks(tensors)
+        caps = [int(t.shape[-1]) for t in tensors[:-1]]
+        new = [min(c, bucket(max(1, int(r)))) for r, c in zip(ranks, caps)]
+        if all(n == c for n, c in zip(new, caps)):
+            return tensors
+        sig = ("trim", self._shapes(tensors), tuple(new))
+
+        def body(*tensor_tuple):
+            out = []
+            for i, t in enumerate(tensor_tuple):
+                l = new[i - 1] if i > 0 else t.shape[1]
+                r = new[i] if i < len(tensor_tuple) - 1 else t.shape[3]
+                out.append(t[:, :l, :, :r])
+            return tuple(out)
+
+        fn = self._cache.get(sig)
+        if fn is None:
+            fn = jax.jit(body)
+            self._cache[sig] = fn
+        return list(fn(*tensors))
 
     # ------------------------------------------------------------------
     def init_tensors(self, coeffs: np.ndarray, batch: int):
@@ -176,6 +233,8 @@ class BatchedGKP:
                         tensors, idx, a2, 0.0 * ones, a2, 0.0 * ones, keys,
                         a1=0.0, a1_zero=True)
                     cur_synd[:, idx, :] = np.asarray(synd)
+                    if self.adaptive:
+                        tensors = self._trim_tensors(tensors)
                     continue
 
                 t = type(gate)
@@ -188,6 +247,8 @@ class BatchedGKP:
                         sgn * np.pi / 2, sgn * np.pi / 8, keys,
                         a1=0.0, a1_zero=True)
                     cur_synd[:, idx, :] = np.asarray(synd)
+                    if self.adaptive:
+                        tensors = self._trim_tensors(tensors)
                     continue
 
                 # frame commutation for static Clifford gates
@@ -236,6 +297,9 @@ class BatchedGKP:
                     cur_synd[:, idx:idx + 2, :] = np.asarray(synd)
                 else:
                     raise NotImplementedError(f"Gate {gate} not supported in batched mode.")
+
+                if self.adaptive:
+                    tensors = self._trim_tensors(tensors)
 
             frame ^= cur_synd
             frame ^= np.asarray([layer.paulis], dtype=np.int32)

@@ -67,3 +67,20 @@ def test_batched_matches_compiled_distribution():
 
     assert abs(fid_batched - fid_comp) < 0.25, (fid_batched, fid_comp)
     assert fid_batched > 0.75
+
+
+def test_adaptive_trimming_shrinks_bonds_and_matches_dv():
+    gates = [dvg.H(0), dvg.P(0)]
+    circ = MBGKPCircuit.transpile(gates, 1)
+    circ.fill()
+    runner = BatchedGKP(QS, EPS, SVD, adaptive=True)
+    coeffs = logical_coeffs([DVState.ZERO])
+    tensors, frames = runner.run_circuit(circ, coeffs, 4, rng_seed=2)
+    # bonds should be trimmed below the static cap after measurements
+    caps = [t.shape[-1] for t in tensors[:-1]]
+    assert all(c <= 8 for c in caps)
+    rho_re, rho_im = runner.readout(tensors, frames)
+    rhos = np.asarray(rho_re) + 1j * np.asarray(rho_im)
+    want = np.asarray(DVSimulator(gates).run([DVState.ZERO]))
+    fids = [float(qop.fidelity(jnp.asarray(want), jnp.asarray(r))) for r in rhos]
+    assert np.mean(fids) > 0.7, fids
