@@ -50,6 +50,11 @@ class SVDOptions:
     max_bond_dim: int | None = None
     abs_err: float = 0.0
     rel_err: float = 1e-12
+    # SVD algorithm: "auto" follows the reference trigger (randomized when
+    # max_bond_dim*10 < full_rank); "full" always uses the exact
+    # (eigh-based on TPU) decomposition — fewer, larger kernels, which wins
+    # on launch-latency-bound accelerator paths; "randomized" forces Halko.
+    svd_method: str = "auto"
 
     def merged_into(self, other: "SVDOptions | None") -> "SVDOptions":
         """Fields explicitly set on `other` win; unset fields fall back to self."""

@@ -51,7 +51,7 @@ def _split(tensor, left, right, opts: SVDOptions, key):
     m1, m2, rank = tensor_svd(
         tensor, left, right,
         max_bond_dim=opts.max_bond_dim, abs_err=opts.abs_err, rel_err=opts.rel_err,
-        key=key,
+        key=key, svd_method=opts.svd_method,
     )
     return trim_split(m1, m2, rank)
 

@@ -102,6 +102,7 @@ class InsertBell(Insert):
         t1, b1_t, rank = tensor_svd(
             tb, (0, 1), (2, 3), max_bond_dim=opts.max_bond_dim,
             abs_err=opts.abs_err, rel_err=opts.rel_err, key=k1,
+            svd_method=opts.svd_method,
         )
         t1, b1_t = trim_split(t1, b1_t, rank)
 
@@ -110,6 +111,7 @@ class InsertBell(Insert):
         b2_t, t2, rank = tensor_svd(
             tb, (0, 1), (2, 3), max_bond_dim=opts.max_bond_dim,
             abs_err=opts.abs_err, rel_err=opts.rel_err, key=k2,
+            svd_method=opts.svd_method,
         )
         b2_t, t2 = trim_split(b2_t, t2, rank)
 

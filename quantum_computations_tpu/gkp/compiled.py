@@ -66,11 +66,13 @@ def _insert_bell(mps: MPS, idx: int, coeff1, epsilon, opts: SVDOptions, key):
     tb = jnp.einsum("aib,kd->aikbd", t1, b1)
     tb = tb.reshape(tb.shape[:-2] + (-1,))
     t1, b1_t, _ = tensor_svd(tb, (0, 1), (2, 3), max_bond_dim=opts.max_bond_dim,
-                             abs_err=opts.abs_err, rel_err=opts.rel_err, key=k1)
+                             abs_err=opts.abs_err, rel_err=opts.rel_err, key=k1,
+                             svd_method=opts.svd_method)
     tb = jnp.einsum("dl,bjc->bdljc", b2, t2)
     tb = tb.reshape((-1,) + tb.shape[2:])
     b2_t, t2, _ = tensor_svd(tb, (0, 1), (2, 3), max_bond_dim=opts.max_bond_dim,
-                             abs_err=opts.abs_err, rel_err=opts.rel_err, key=k2)
+                             abs_err=opts.abs_err, rel_err=opts.rel_err, key=k2,
+                             svd_method=opts.svd_method)
     mps[idx - 1] = t1
     mps.tensors.insert(idx, b1_t)
     mps.tensors.insert(idx + 1, b2_t)

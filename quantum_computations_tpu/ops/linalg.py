@@ -204,6 +204,7 @@ def tensor_svd(
     rel_err: float = 1e-12,
     key: jax.Array | None = None,
     cap: int | None = None,
+    svd_method: str = "auto",
 ):
     """Split a rank-n tensor across (left_indices | right_indices) by SVD.
 
@@ -227,8 +228,14 @@ def tensor_svd(
     mbd = full_rank if max_bond_dim is None else min(max_bond_dim, full_rank)
     if cap is None:
         cap = bucket(mbd)
+    if svd_method == "full":
+        use_randomized = False
+    elif svd_method == "randomized":
+        use_randomized = True
+    else:
+        use_randomized = None if max_bond_dim is not None else False
     m1, m2, rank = matrix_svd_split(
         m, cap, max_bond_dim=mbd, abs_err=abs_err, rel_err=rel_err, key=key,
-        use_randomized=(None if max_bond_dim is not None else False),
+        use_randomized=use_randomized,
     )
     return m1.reshape(*lshape, cap), m2.reshape(cap, *rshape), rank
