@@ -32,6 +32,7 @@ GRID = int(os.environ.get("QCT_BENCH_GRID", 512))
 CHI = int(os.environ.get("QCT_BENCH_CHI", 8))
 BATCH = int(os.environ.get("QCT_BENCH_BATCH", 8))
 REPS = int(os.environ.get("QCT_BENCH_REPS", 3))
+SVD_METHOD = os.environ.get("QCT_BENCH_SVD", "auto")
 
 # Fixed representative RB circuit (2 qubits, Clifford-only, incl. a two-mode gadget).
 _BENCH_GATES = "H0 P0 CZ01 H1 P1 SWAP01"
@@ -55,7 +56,7 @@ def _build_prog():
 
     qs = np.linspace(-20, 20, GRID)
     eps = float(db2eps(10.0))
-    svd = SVDOptions(max_bond_dim=CHI, rel_err=1e-2)
+    svd = SVDOptions(max_bond_dim=CHI, rel_err=1e-2, svd_method=SVD_METHOD)
     prog = CompiledGKP(circ, qs, eps, svd)
     return prog, circ, (gates, qs, eps, svd)
 

@@ -101,6 +101,73 @@ def apply_1q(state_re: jax.Array, state_im: jax.Array, u: jax.Array,
     return out_re.reshape(-1), out_im.reshape(-1)
 
 
+def _mix4_kernel(u_ref, xr_ref, xi_ref, or_ref, oi_ref):
+    """4x4 branch mix for an ADJACENT qubit pair, split-real.
+
+    State viewed as (outer*4, inner) rows; row 4o+b holds branch b in
+    {00,01,10,11} of outer index o. u_ref: SMEM (2, 4, 4) [re/im, row, col].
+    """
+    br, bi = xr_ref.shape
+    xr = xr_ref[:].reshape(br // 4, 4, bi)
+    xi = xi_ref[:].reshape(br // 4, 4, bi)
+
+    rows_r, rows_i = [], []
+    for row in range(4):
+        acc_r = None
+        acc_i = None
+        for col in range(4):
+            ur = u_ref[0, row, col]
+            ui = u_ref[1, row, col]
+            tr = ur * xr[:, col, :] - ui * xi[:, col, :]
+            ti = ur * xi[:, col, :] + ui * xr[:, col, :]
+            acc_r = tr if acc_r is None else acc_r + tr
+            acc_i = ti if acc_i is None else acc_i + ti
+        rows_r.append(acc_r)
+        rows_i.append(acc_i)
+    or_ref[:] = jnp.stack(rows_r, axis=1).reshape(br, bi)
+    oi_ref[:] = jnp.stack(rows_i, axis=1).reshape(br, bi)
+
+
+@partial(jax.jit, static_argnames=("qubit", "num_qubits", "interpret"))
+def apply_2q_adjacent(state_re: jax.Array, state_im: jax.Array, u: jax.Array,
+                      qubit: int, num_qubits: int, *, interpret: bool = False):
+    """Apply a 2-qubit unitary to the ADJACENT pair (qubit, qubit+1).
+
+    u: (4, 4) complex with row/col index = 2*b_first + b_second.
+    Requires inner = 2^(N-qubit-2) >= 128. Nearest-neighbour pairs are the
+    native gate topology of the reference's circuits.
+    """
+    N = num_qubits
+    outer = 1 << qubit
+    inner = 1 << (N - qubit - 2)
+    if inner < 128:
+        raise ValueError("apply_2q_adjacent requires inner >= 128; use the XLA path")
+
+    u = jnp.asarray(u)
+    u_split = jnp.stack([u.real, u.imag]).astype(jnp.float32)
+
+    rows = outer * 4
+    b_in = min(inner, 2048)
+    b_r = min(rows, max(4, 16 * 2048 // b_in))
+    grid = (rows // b_r, inner // b_in)
+
+    shape2 = (rows, inner)
+    xr = state_re.reshape(shape2)
+    xi = state_im.reshape(shape2)
+
+    spec = pl.BlockSpec((b_r, b_in), lambda i, j: (i, j), memory_space=pltpu.VMEM)
+    out_shape = [jax.ShapeDtypeStruct(shape2, jnp.float32)] * 2
+    out_re, out_im = pl.pallas_call(
+        _mix4_kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), spec, spec],
+        out_specs=[spec, spec],
+        out_shape=out_shape,
+        interpret=interpret,
+    )(u_split, xr, xi)
+    return out_re.reshape(-1), out_im.reshape(-1)
+
+
 def apply_1q_xla(state_re, state_im, u, qubit: int, num_qubits: int):
     """Reference XLA implementation of the same split-real update."""
     N = num_qubits

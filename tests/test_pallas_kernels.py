@@ -43,3 +43,21 @@ def test_apply_1q_agrees_with_dense():
 def test_small_inner_rejected():
     with pytest.raises(ValueError):
         pk.apply_1q(jnp.zeros(2**8), jnp.zeros(2**8), np.eye(2), 7, 8, interpret=True)
+
+
+@pytest.mark.parametrize("N,qubit", [(10, 0), (12, 3)])
+def test_apply_2q_adjacent_matches_dense(N, qubit):
+    u4 = rand_u4()
+    psi = (rng.normal(size=2**N) + 1j * rng.normal(size=2**N)).astype(np.complex64)
+    from quantum_computations_tpu.dv import qop
+    want = np.asarray(qop.apply_unitary(
+        jnp.asarray(psi), jnp.asarray(u4, jnp.complex64), (qubit, qubit + 1)))
+    got_r, got_i = pk.apply_2q_adjacent(
+        jnp.asarray(psi.real), jnp.asarray(psi.imag), u4, qubit, N, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_r) + 1j * np.asarray(got_i), want, atol=1e-5)
+
+
+def rand_u4():
+    a = rng.normal(size=(4, 4)) + 1j * rng.normal(size=(4, 4))
+    q, _ = np.linalg.qr(a)
+    return q
