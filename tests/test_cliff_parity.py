@@ -25,11 +25,12 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-def test_generated_fidelities_match_reference_classes():
+@pytest.mark.parametrize("db", [5.0, 5.8333333333333333])
+def test_generated_fidelities_match_reference_classes(db):
     ours = json.load(open(GEN))
     ref = json.load(open(REF))
-    ref5 = [e for e in ref if abs(e["db"] - 5.0) < 1e-6]
-    ours5 = [e for e in ours if abs(e["db"] - 5.0) < 1e-6]
+    ref5 = [e for e in ref if abs(e["db"] - db) < 1e-3]
+    ours5 = [e for e in ours if abs(e["db"] - db) < 1e-3]
     assert len(ours5) >= 100, "generated dataset too small"
 
     R = np.sort(np.array([e["fidelities"] for e in ref5]), axis=1)
