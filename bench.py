@@ -33,6 +33,7 @@ CHI = int(os.environ.get("QCT_BENCH_CHI", 8))
 BATCH = int(os.environ.get("QCT_BENCH_BATCH", 8))
 REPS = int(os.environ.get("QCT_BENCH_REPS", 3))
 SVD_METHOD = os.environ.get("QCT_BENCH_SVD", "auto")
+ENGINE = os.environ.get("QCT_BENCH_ENGINE", "batched-adaptive")  # or "compiled"
 
 # Fixed representative RB circuit (2 qubits, Clifford-only, incl. a two-mode gadget).
 _BENCH_GATES = "H0 P0 CZ01 H1 P1 SWAP01"
@@ -77,19 +78,35 @@ def run_tpu() -> float:
                       os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    prog, _, _ = _build_prog()
+    prog, circ, (gates, qs, eps, svd) = _build_prog()
     coeffs = logical_coeffs([DVState.ZERO, DVState.ZERO])  # numpy: traced as a literal
-    fn = jax.jit(jax.vmap(lambda k: prog.trajectory_with_readout(coeffs, k)))
+
+    if ENGINE == "compiled":
+        fn = jax.jit(jax.vmap(lambda k: prog.trajectory_with_readout(coeffs, k)))
+
+        def run_once(key_seed):
+            keys = jax.random.split(jax.random.PRNGKey(key_seed), BATCH)
+            frames, rho_re, rho_im = fn(keys)
+            return rho_re
+    else:
+        # Per-gadget-jit runner with rank-adaptive bond trimming — measured
+        # fastest on the tunnel chip (trimmed bonds -> cheaper gadgets).
+        from quantum_computations_tpu.gkp.batched import BatchedGKP
+
+        runner = BatchedGKP(qs, eps, svd, adaptive=True)
+
+        def run_once(key_seed):
+            tensors, frames = runner.run_circuit(circ, coeffs, BATCH, rng_seed=key_seed)
+            rho_re, _ = runner.readout(tensors, frames)
+            return rho_re
 
     def run_and_check(key_seed):
-        keys = jax.random.split(jax.random.PRNGKey(key_seed), BATCH)
-        frames, rho_re, rho_im = fn(keys)
+        rho_re = run_once(key_seed)
         # Fetch a REAL scalar per call: forces real execution and surfaces
         # backend errors (block_until_ready alone passes on poisoned buffers).
         traces = np.asarray(jnp.trace(rho_re, axis1=1, axis2=2))
         if not np.all(np.isfinite(traces)) or not np.allclose(traces, 1.0, atol=1e-2):
             raise RuntimeError(f"bench output invalid: traces={traces}")
-        return frames
 
     run_and_check(0)  # compile + warm + validate
 
