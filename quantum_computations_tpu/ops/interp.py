@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import PRECISION
 
@@ -112,14 +113,36 @@ def wigner(qs: jax.Array, state: jax.Array, ps: jax.Array | None = None):
     return ps, W.real
 
 
-def warp_2d(qs: jax.Array, tensor: jax.Array, x_src: jax.Array, y_src: jax.Array):
+def warp_2d(qs: jax.Array, tensor: jax.Array, x_src: jax.Array, y_src: jax.Array,
+            chunk_elements: int = 1 << 25):
     """Bilinear resample of the two middle axes of an (a, d, d, b) tensor.
 
     out[a, i, j, b] = T(a, x_src[i,j], y_src[i,j], b) with linear interpolation
     and zero fill outside the domain — the vectorised equivalent of the
     reference's ``RegularGridInterpolator(method='linear', fill_value=0)``
     applied per (a, b) slice. One fused gather instead of a Python loop.
+
+    Large tensors are processed in sequential chunks over the leading bond
+    axis (lax.map) — the four gather temporaries would otherwise hold
+    4 x a*d*d*b floats at once, which OOMs HBM at production bond dimensions
+    (chi=100, d=1000).
     """
+    a = tensor.shape[0]
+    total = int(np.prod(tensor.shape))
+    if total > chunk_elements and a > 1:
+        n_chunks = 1
+        for cand in range(2, a + 1):
+            if a % cand == 0 and total // cand <= chunk_elements:
+                n_chunks = cand
+                break
+        if n_chunks > 1:
+            t = tensor.reshape(n_chunks, a // n_chunks, *tensor.shape[1:])
+            out = jax.lax.map(lambda tc: _warp_2d_core(qs, tc, x_src, y_src), t)
+            return out.reshape(tensor.shape)
+    return _warp_2d_core(qs, tensor, x_src, y_src)
+
+
+def _warp_2d_core(qs: jax.Array, tensor: jax.Array, x_src: jax.Array, y_src: jax.Array):
     d = qs.shape[0]
     q0 = qs[0]
     dq = (qs[-1] - qs[0]) / (d - 1)

@@ -227,7 +227,10 @@ def tensor_svd(
     full_rank = min(m.shape)
     mbd = full_rank if max_bond_dim is None else min(max_bond_dim, full_rank)
     if cap is None:
-        cap = bucket(mbd)
+        # honour the configured cap exactly (bucket(100)=128 would cost 28%
+        # extra memory in every downstream contraction); bucketing still
+        # applies to the small growth sizes via min().
+        cap = min(bucket(mbd), mbd) if max_bond_dim is not None else bucket(mbd)
     if svd_method == "full":
         use_randomized = False
     elif svd_method == "randomized":
