@@ -96,21 +96,50 @@ def trim_split(m1: jax.Array, m2: jax.Array, rank):
     return m1, m2
 
 
-def randomized_range_finder(A: jax.Array, l: int, q: int, key: jax.Array) -> jax.Array:
-    """Find Q (n x l) with Q Q^H A ~= A via Gaussian sketch + QR power iterations.
+def _hermitian_inv_sqrt(G: jax.Array, eps_rel: float = 1e-12) -> jax.Array:
+    """G^{-1/2} for a small Hermitian PSD matrix, via REAL symmetric eigh of
+    the realification (TPU has no complex eigh lowering)."""
+    n = G.shape[0]
+    if jnp.iscomplexobj(G):
+        M = jnp.block([[G.real, -G.imag], [G.imag, G.real]])
+        w, U = jnp.linalg.eigh(M)
+        V = U[:n, ::2] + 1j * U[n:, ::2]  # one complex eigvec per doubled pair
+        V = V.astype(G.dtype)
+        w = w[::2]  # one eigenvalue per doubled pair (columns taken ::2)
+    else:
+        w, V = jnp.linalg.eigh(M := G)
+    floor = jnp.max(w) * eps_rel
+    inv_sqrt_w = jnp.where(w > floor, 1.0 / jnp.sqrt(jnp.clip(w, floor, None)), 0.0)
+    return (V * inv_sqrt_w[None, :]) @ V.T.conj()
 
-    All work is tall-skinny matmuls + QR — MXU-friendly. The power iteration
-    is a rolled `fori_loop` so the compiled graph contains 3 QR subgraphs
-    instead of 1 + 2q (QR lowers to a large HLO region; unrolling it was the
-    dominant compile-time cost of the fully-jitted trajectory programs).
+
+def orthonormalize(Y: jax.Array, passes: int = 2) -> jax.Array:
+    """Tall-skinny orthonormalization by CholeskyQR2-style Gram inverse-sqrt.
+
+    Q = Y (Y^H Y)^{-1/2}, applied `passes` times for stability — all matmuls
+    plus one small eigh, no QR custom call. On the TPU backend, vmapped
+    tall-skinny QR triggers a pathological layout (the batch axis becomes the
+    lane dimension, 32x memory padding); this avoids it entirely and feeds
+    the MXU.
+    """
+    for _ in range(passes):
+        G = Y.T.conj() @ Y
+        Y = Y @ _hermitian_inv_sqrt(G)
+    return Y
+
+
+def randomized_range_finder(A: jax.Array, l: int, q: int, key: jax.Array) -> jax.Array:
+    """Find Q (n x l) with Q Q^H A ~= A via Gaussian sketch + power iterations.
+
+    All work is matmuls + small Gram eigh (see :func:`orthonormalize`). The
+    power iteration is a rolled `fori_loop` to keep the compiled graph small.
     """
     O = jax.random.normal(key, (A.shape[1], l), dtype=A.real.dtype).astype(A.dtype)
-    Q, _ = jnp.linalg.qr(A @ O)
+    Q = orthonormalize(A @ O)
 
     def body(_, Q):
-        Q1, _ = jnp.linalg.qr(A.T.conj() @ Q)
-        Q2, _ = jnp.linalg.qr(A @ Q1)
-        return Q2
+        Q1 = orthonormalize(A.T.conj() @ Q)
+        return orthonormalize(A @ Q1)
 
     return jax.lax.fori_loop(0, q, body, Q)
 
