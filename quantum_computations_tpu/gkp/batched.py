@@ -41,19 +41,27 @@ SQPI = np.sqrt(np.pi)
 
 class BatchedGKP:
     def __init__(self, qs, ancilla_epsilon, svd_options: SVDOptions | dict | None = None,
-                 *, adaptive: bool = False):
-        """adaptive=True enables rank-adaptive bond trimming: after each
-        gadget the true bond ranks are measured on-device (integer fetch),
-        the batch-maximum is bucketed, and tensors are sliced by cached
-        executors. This restores dynamic-rank memory behaviour on
-        accelerators (static caps at chi=100, d=1000 would not fit HBM) at
-        the price of extra compiles when new shape signatures appear."""
+                 *, adaptive: bool = False, granularity: str = "gadget"):
+        """adaptive=True enables rank-adaptive bond trimming: true bond ranks
+        are measured on-device (integer fetch), the batch-maximum is bucketed,
+        and tensors are sliced by cached executors. This restores dynamic-rank
+        memory behaviour on accelerators (static caps at chi=100, d=1000 would
+        not fit HBM) at the price of extra compiles for new shape signatures.
+
+        granularity: "gadget" jits one executor per MB gadget (fewest host
+        round-trips); "op" jits one executor per CV operation with trimming
+        BETWEEN ops — required at production bond dimensions, where a whole
+        macronode gadget at static caps materialises a (chi, d, d, chi)
+        tensor (80 GB at chi=100, d=1000) regardless of the true ranks."""
+        if granularity not in ("gadget", "op"):
+            raise ValueError(granularity)
         self.qs = np.asarray(qs)
         self.epsilon = ancilla_epsilon
         if isinstance(svd_options, dict):
             svd_options = SVDOptions(**svd_options)
         self.opts = svd_options or SVDOptions()
         self.adaptive = adaptive
+        self.granularity = granularity
         self._cache: dict = {}
 
     # ------------------------------------------------------------------
@@ -76,6 +84,9 @@ class BatchedGKP:
         arrays) enter the syndrome formula — they differ from the measured
         angles only for Pauli-frame-flipped T gadgets.
         """
+        if self.granularity == "op":
+            return self._single_ops(tensors, idx, meas_a2, syn_a1, syn_a2,
+                                    bell_phase, keys, a1=a1, a1_zero=a1_zero)
         sig = ("single", idx, a1, a1_zero, self._shapes(tensors))
 
         def body(tensor_tuple, m_a2, s_a1, s_a2, b_phase, key):
@@ -93,7 +104,104 @@ class BatchedGKP:
         out_tensors, synd = fn(tuple(tensors), meas_a2, syn_a1, syn_a2, bell_phase, keys)
         return list(out_tensors), synd
 
+    # -- op-level executors (granularity="op") --------------------------
+    def _maybe_trim(self, tensors):
+        return self._trim_tensors(tensors) if self.adaptive else tensors
+
+    def _op_insert_bell(self, tensors, idx, bell_phase, keys):
+        sig = ("op_bell", idx, self._shapes(tensors))
+
+        def body(tt, ph, key):
+            mps = MPS(self.qs, list(tt))
+            _insert_bell(mps, idx, jnp.exp(1j * ph), self.epsilon, self.opts, key)
+            return tuple(mps.tensors)
+
+        out = self._get(sig, body)(tuple(tensors), bell_phase, keys)
+        return self._maybe_trim(list(out))
+
+    def _op_bs(self, tensors, i, j, keys):
+        sig = ("op_bs", i, j, self._shapes(tensors))
+
+        def body(tt, key):
+            mps = MPS(self.qs, list(tt))
+            cvg.BS(i, j).apply(mps, key=key, svd_options=self.opts)
+            return tuple(mps.tensors)
+
+        out = self._get(sig, body)(tuple(tensors), keys)
+        return self._maybe_trim(list(out))
+
+    def _op_homodyne(self, tensors, idx, angles, keys, *, a_zero: bool):
+        sig = ("op_hom", idx, a_zero, self._shapes(tensors))
+
+        def body(tt, a, key):
+            mps = MPS(self.qs, list(tt))
+            m = _homodyne(mps, idx, a, key, static_zero=a_zero)
+            return tuple(mps.tensors), m
+
+        out_t, m = self._get(sig, body)(tuple(tensors), angles, keys)
+        return self._maybe_trim(list(out_t)), np.asarray(m)
+
+    @staticmethod
+    def _syndrome_np(ta, tb, ma, mb):
+        """Byproduct syndrome on host numpy arrays (per-trajectory)."""
+        mu = 1j * (ma * np.exp(1j * tb) + mb * np.exp(1j * ta)) / np.sin(ta - tb)
+        vec = np.stack([mu.real, mu.imag], axis=-1) * 2**0.5
+        return (np.round(vec / SQPI).astype(np.int32) % 2)
+
+    @staticmethod
+    def _split_batch_keys(keys, n):
+        """Per-trajectory key batch -> n per-op key batches."""
+        arr = jax.vmap(lambda k: jax.random.split(k, n))(keys)
+        return [arr[:, i, :] for i in range(n)]
+
+    def _single_ops(self, tensors, idx, meas_a2, syn_a1, syn_a2, bell_phase, keys,
+                    *, a1, a1_zero):
+        """Single-mode gadget composed of op-level executors with trims."""
+        batch = len(np.asarray(meas_a2))
+        keysets = self._split_batch_keys(keys, 4)
+        ones = np.ones(batch, np.float32)
+        tensors = self._op_insert_bell(tensors, idx + 1, bell_phase, keysets[0])
+        tensors = self._op_bs(tensors, idx, idx + 1, keysets[1])
+        tensors, m_a = self._op_homodyne(tensors, idx, a1 * ones, keysets[2], a_zero=a1_zero)
+        tensors, m_b = self._op_homodyne(tensors, idx, np.asarray(meas_a2), keysets[3], a_zero=False)
+        synd = self._syndrome_np(np.asarray(syn_a1, np.float64), np.asarray(syn_a2, np.float64),
+                                 m_a.astype(np.float64), m_b.astype(np.float64))
+        return tensors, synd
+
+    def _two_ops(self, tensors, idx, mb2type: MB2Type, keys):
+        """Macronode gadget composed of op-level executors with trims.
+
+        Between-op trimming keeps every BS contraction at true-rank sizes —
+        at production parameters the whole-gadget executor would materialise
+        (cap, d, d, cap) regardless of data."""
+        ta, tc, tb, td = mb2type.angles()
+        batch_probe = tensors[0].shape[0]
+        ones = np.ones(batch_probe, np.float32)
+        ks = self._split_batch_keys(keys, 10)
+        tensors = self._op_insert_bell(tensors, idx, 0.0 * ones, ks[0])
+        tensors = self._op_insert_bell(tensors, idx + 4, 0.0 * ones, ks[1])
+        tensors = self._op_bs(tensors, idx + 2, idx + 1, ks[2])
+        tensors = self._op_bs(tensors, idx + 3, idx + 4, ks[3])
+        tensors = self._op_bs(tensors, idx + 2, idx + 3, ks[4])
+        tensors, m_a = self._op_homodyne(tensors, idx + 2, ta * ones, ks[5], a_zero=(ta == 0.0))
+        tensors, m_c = self._op_homodyne(tensors, idx + 2, tc * ones, ks[6], a_zero=(tc == 0.0))
+        tensors = self._op_bs(tensors, idx + 1, idx + 2, ks[7])
+        tensors, m_b = self._op_homodyne(tensors, idx + 1, tb * ones, ks[8], a_zero=(tb == 0.0))
+        tensors, m_d = self._op_homodyne(tensors, idx + 1, td * ones, ks[9], a_zero=(td == 0.0))
+
+        ma, mb_, mc, md = (x.astype(np.float64) for x in (m_a, m_b, m_c, m_d))
+        mu_ab = 1j * (ma * np.exp(1j * tb) + mb_ * np.exp(1j * ta)) / np.sin(ta - tb)
+        mu_cd = 1j * (mc * np.exp(1j * td) + md * np.exp(1j * tc)) / np.sin(tc - td)
+        out = []
+        for mu in (mu_cd + mu_ab, mu_cd - mu_ab):
+            vec = np.stack([mu.real, mu.imag], axis=-1)
+            out.append(np.round(vec / SQPI).astype(np.int32) % 2)
+        synd = np.stack(out, axis=1)  # (batch, 2, 2)
+        return tensors, synd
+
     def _two(self, tensors, idx, mb2type: MB2Type, keys):
+        if self.granularity == "op":
+            return self._two_ops(tensors, idx, mb2type, keys)
         sig = ("two", idx, mb2type, self._shapes(tensors))
 
         def body(tensor_tuple, key):

@@ -84,3 +84,19 @@ def test_adaptive_trimming_shrinks_bonds_and_matches_dv():
     want = np.asarray(DVSimulator(gates).run([DVState.ZERO]))
     fids = [float(qop.fidelity(jnp.asarray(want), jnp.asarray(r))) for r in rhos]
     assert np.mean(fids) > 0.7, fids
+
+
+def test_op_granularity_matches_dv():
+    gates = [dvg.H(0), dvg.CZ(0, 1)]
+    circ = MBGKPCircuit.transpile(gates, 2)
+    circ.fill()
+    runner = BatchedGKP(QS, EPS, SVD, adaptive=True, granularity="op")
+    coeffs = logical_coeffs([DVState.ZERO, DVState.ZERO])
+    tensors, frames = runner.run_circuit(circ, coeffs, 3, rng_seed=5)
+    rho_re, rho_im = runner.readout(tensors, frames)
+    rhos = np.asarray(rho_re) + 1j * np.asarray(rho_im)
+    want = np.asarray(DVSimulator(gates).run([DVState.ZERO, DVState.ZERO]))
+    fids = [float(qop.fidelity(jnp.asarray(want), jnp.asarray(r))) for r in rhos]
+    assert np.mean(fids) > 0.6, fids
+    # no whole-gadget executors were compiled, only op-level ones
+    assert not any(k[0] in ("single", "two") for k in runner._cache)
