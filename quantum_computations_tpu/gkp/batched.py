@@ -237,15 +237,23 @@ class BatchedGKP:
             self._cache[sig] = fn
         return np.asarray(fn(*tensors))
 
+    @staticmethod
+    def _trim_bucket(n: int) -> int:
+        """Finer buckets than powers of two: 1,2,4,8,16 then multiples of 16.
+
+        At production bond dimensions the power-of-two jump (33 -> 64) doubles
+        the memory of every downstream (chi d)^2 contraction."""
+        if n <= 16:
+            return 1 << (max(1, n) - 1).bit_length()
+        return ((n + 15) // 16) * 16
+
     def _trim_tensors(self, tensors):
         """Slice all bonds down to bucketed batch-max true ranks."""
-        from ..ops.linalg import bucket
-
         if len(tensors) < 2:
             return tensors
         ranks = self._bond_ranks(tensors)
         caps = [int(t.shape[-1]) for t in tensors[:-1]]
-        new = [min(c, bucket(max(1, int(r)))) for r, c in zip(ranks, caps)]
+        new = [min(c, self._trim_bucket(max(1, int(r)))) for r, c in zip(ranks, caps)]
         if all(n == c for n, c in zip(new, caps)):
             return tensors
         sig = ("trim", self._shapes(tensors), tuple(new))
