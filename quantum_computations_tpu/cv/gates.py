@@ -56,6 +56,39 @@ def _split(tensor, left, right, opts: SVDOptions, key):
     return trim_split(m1, m2, rank)
 
 
+# Above this many elements of the contracted (a, d, d, b) tensor, two-mode
+# warp gates stream the contraction+warp+SVD instead of materialising the
+# matrix (ops/streamed.py) — the matrix alone would be tens of GB at
+# production bond dimensions.
+_STREAM_THRESHOLD = 1 << 27
+
+
+def _warped_pair_split(mps, left_index, right_index, x_src, y_src, opts, key):
+    """Contract neighbours, resample at (x_src, y_src), SVD-split — choosing
+    the materialised or streamed implementation by size."""
+    t1, t2 = mps[left_index], mps[right_index]
+    a, d, _ = t1.shape
+    b = t2.shape[-1]
+    qs = jnp.asarray(mps.domain)
+    if a * d * d * b > _STREAM_THRESHOLD and opts.max_bond_dim is not None:
+        from ..ops.streamed import streamed_pair_svd
+
+        cap = min(opts.max_bond_dim, a * d, d * b)
+        # reference power-iteration heuristic (mps.py:29)
+        q = 7 if cap + 10 < 0.1 * min(a * d, d * b) else 4
+        m1, m2, rank = streamed_pair_svd(
+            t1, t2, qs, x_src, y_src,
+            max_bond_dim=opts.max_bond_dim, abs_err=opts.abs_err,
+            rel_err=opts.rel_err, key=key, power_iters=q,
+        )
+        m1, m2 = trim_split(m1, m2, rank)
+    else:
+        res = jnp.tensordot(t1, t2, axes=(2, 0))
+        res = interp.warp_2d(qs, res, x_src, y_src)
+        m1, m2 = _split(res, (0, 1), (2, 3), opts, key)
+    mps[left_index], mps[right_index] = m1, m2
+
+
 class Insert(SingleModeGate):
     """Insert a fresh CV mode at `index` (reference gates.py:13-45)."""
 
@@ -106,10 +139,9 @@ class BS(TwoModeGate):
     def apply(self, mps: MPS, *, key=None, svd_options=None, **_):
         angle = self.arg * (-1) ** (self.index1 > self.index2) * (-1) ** self.dagger
         qs = jnp.asarray(mps.domain)
-        res = jnp.tensordot(mps[self.left_index], mps[self.right_index], axes=(2, 0))
-        res = interp.rotate_2d(qs, res, angle)
-        m1, m2 = _split(res, (0, 1), (2, 3), _opts(self, svd_options), key)
-        mps[self.left_index], mps[self.right_index] = m1, m2
+        x_src, y_src = interp.rotation_maps(qs, angle)
+        _warped_pair_split(mps, self.left_index, self.right_index, x_src, y_src,
+                           _opts(self, svd_options), key)
 
 
 class Mq(Measurement):
@@ -209,11 +241,10 @@ class CX(TwoModeGate):
 
     def apply(self, mps: MPS, *, key=None, svd_options=None, **_):
         qs = jnp.asarray(mps.domain)
-        res = jnp.tensordot(mps[self.left_index], mps[self.right_index], axes=(2, 0))
         gain = self.arg * (-1) ** self.dagger
-        res = interp.shear_2d(qs, res, gain, control_left=self.index1 < self.index2)
-        m1, m2 = _split(res, (0, 1), (2, 3), _opts(self, svd_options), key)
-        mps[self.left_index], mps[self.right_index] = m1, m2
+        x_src, y_src = interp.shear_maps(qs, gain, control_left=self.index1 < self.index2)
+        _warped_pair_split(mps, self.left_index, self.right_index, x_src, y_src,
+                           _opts(self, svd_options), key)
 
 
 class F(SingleModeGate):

@@ -178,20 +178,30 @@ def _warp_2d_core(qs: jax.Array, tensor: jax.Array, x_src: jax.Array, y_src: jax
     return out * inside[None, :, :, None]
 
 
-def rotate_2d(qs: jax.Array, tensor: jax.Array, angle):
-    """BS action: resample middle axes at the rotated coordinates
+def rotation_maps(qs: jax.Array, angle):
+    """Source-coordinate grids for the BS rotation
     (x, y) -> (c x + s y, -s x + c y) — reference ``cv gates.py:74-80``."""
     x, y = jnp.meshgrid(qs, qs, indexing="ij")
     c, s = jnp.cos(angle), jnp.sin(angle)
-    return warp_2d(qs, tensor, c * x + s * y, -s * x + c * y)
+    return c * x + s * y, -s * x + c * y
+
+
+def shear_maps(qs: jax.Array, gain, control_left: bool):
+    """Source-coordinate grids for the CX controlled displacement
+    — reference ``cv gates.py:176-189``."""
+    x, y = jnp.meshgrid(qs, qs, indexing="ij")
+    if control_left:
+        return x, y - gain * x
+    return x - gain * y, y
+
+
+def rotate_2d(qs: jax.Array, tensor: jax.Array, angle):
+    """BS action: resample middle axes at the rotated coordinates."""
+    x_src, y_src = rotation_maps(qs, angle)
+    return warp_2d(qs, tensor, x_src, y_src)
 
 
 def shear_2d(qs: jax.Array, tensor: jax.Array, gain, control_left: bool):
-    """CX action: controlled displacement — reference ``cv gates.py:176-189``.
-
-    control_left: target resampled at y - gain*x; else x resampled at x - gain*y.
-    """
-    x, y = jnp.meshgrid(qs, qs, indexing="ij")
-    if control_left:
-        return warp_2d(qs, tensor, x, y - gain * x)
-    return warp_2d(qs, tensor, x - gain * y, y)
+    """CX action: controlled displacement."""
+    x_src, y_src = shear_maps(qs, gain, control_left)
+    return warp_2d(qs, tensor, x_src, y_src)

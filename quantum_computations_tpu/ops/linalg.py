@@ -98,9 +98,19 @@ def trim_split(m1: jax.Array, m2: jax.Array, rank):
 
 def _hermitian_inv_sqrt(G: jax.Array, eps_rel: float = 1e-12) -> jax.Array:
     """G^{-1/2} for a small Hermitian PSD matrix, via REAL symmetric eigh of
-    the realification (TPU has no complex eigh lowering)."""
+    the realification (TPU has no complex eigh lowering).
+
+    A deterministic diagonal perturbation splits degenerate eigenvalues —
+    WITHOUT it the realified pair extraction returns complex-dependent
+    columns exactly when G is near-identity (which the second
+    orthonormalization pass always produces). The perturbation scale is set
+    by what the dtype's eigh can resolve.
+    """
     n = G.shape[0]
     if jnp.iscomplexobj(G):
+        split = 1e-4 if G.real.dtype == jnp.float32 else 1e-9
+        scale = jnp.trace(G).real / max(n, 1)
+        G = G + (split * scale / max(n, 1)) * jnp.diag(jnp.arange(n, dtype=G.real.dtype))
         M = jnp.block([[G.real, -G.imag], [G.imag, G.real]])
         w, U = jnp.linalg.eigh(M)
         V = U[:n, ::2] + 1j * U[n:, ::2]  # one complex eigvec per doubled pair
@@ -113,19 +123,21 @@ def _hermitian_inv_sqrt(G: jax.Array, eps_rel: float = 1e-12) -> jax.Array:
     return (V * inv_sqrt_w[None, :]) @ V.T.conj()
 
 
-def orthonormalize(Y: jax.Array, passes: int = 2) -> jax.Array:
-    """Tall-skinny orthonormalization by CholeskyQR2-style Gram inverse-sqrt.
+def orthonormalize(Y: jax.Array) -> jax.Array:
+    """Tall-skinny orthonormalization: Gram inverse-sqrt + Newton–Schulz polish.
 
-    Q = Y (Y^H Y)^{-1/2}, applied `passes` times for stability — all matmuls
-    plus one small eigh, no QR custom call. On the TPU backend, vmapped
-    tall-skinny QR triggers a pathological layout (the batch axis becomes the
-    lane dimension, 32x memory padding); this avoids it entirely and feeds
-    the MXU.
+    Q0 = Y (Y^H Y)^{-1/2} handles the bulk (one small eigh + matmuls, no QR
+    custom call — on the TPU backend, vmapped tall-skinny QR triggers a
+    pathological layout with the batch axis as lanes, 32x memory padding).
+    The polish step Q = Q0 (3I - Q0^H Q0)/2 converges quadratically and,
+    unlike a second inverse-sqrt pass, has no eigenvector-degeneracy issue on
+    the near-identity Gram it receives.
     """
-    for _ in range(passes):
-        G = Y.T.conj() @ Y
-        Y = Y @ _hermitian_inv_sqrt(G)
-    return Y
+    G = Y.T.conj() @ Y
+    Q = Y @ _hermitian_inv_sqrt(G)
+    G2 = Q.T.conj() @ Q
+    eye = jnp.eye(G2.shape[0], dtype=G2.dtype)
+    return Q @ (1.5 * eye - 0.5 * G2)
 
 
 def randomized_range_finder(A: jax.Array, l: int, q: int, key: jax.Array) -> jax.Array:
