@@ -59,8 +59,13 @@ def _split(tensor, left, right, opts: SVDOptions, key):
 # Above this many elements of the contracted (a, d, d, b) tensor, two-mode
 # warp gates stream the contraction+warp+SVD instead of materialising the
 # matrix (ops/streamed.py) — the matrix alone would be tens of GB at
-# production bond dimensions.
-_STREAM_THRESHOLD = 1 << 27
+# production bond dimensions. DISABLED by default on this image: the
+# streamed executable (gathers inside fori_loop) faults the axon TPU worker
+# ("kernel fault"); enable with QCT_STREAM_THRESHOLD (elements) once the
+# backend issue is resolved — the implementation itself is verified on CPU
+# (tests/test_streamed.py).
+import os as _os
+_STREAM_THRESHOLD = int(_os.environ.get("QCT_STREAM_THRESHOLD", 1 << 40))
 
 
 def _warped_pair_split(mps, left_index, right_index, x_src, y_src, opts, key):
