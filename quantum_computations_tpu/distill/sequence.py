@@ -322,6 +322,12 @@ class LogicalDistillationSequence:
         return self.stages[-1].qubit_size
 
     def input_rate_cap(self, allocated_memory: int, local_gate_rate: float = 1.0):
+        if self.M == 0:
+            # No processing space-time volume (bare init / zero-depth stages):
+            # memory never throttles the input rate. The reference divides by
+            # zero here (sequence_class.py:268-270) — latent crash its target
+            # settings never reached.
+            return inf
         cap = local_gate_rate * (allocated_memory - self.M_idle) / self.M
         return max(0.0, cap)
 

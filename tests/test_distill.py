@@ -177,3 +177,13 @@ def test_pipeline_simulator_runs():
     # simulated rate should be in the ballpark of the analytic rate
     analytic = float(seq.distillation_rate(10 * seq.min_memory_req, mpmath.inf))
     assert 0.2 * analytic < out["rate"] < 5 * analytic
+
+
+def test_bare_sequence_rate_does_not_divide_by_zero():
+    """Edge case found by runtime verification: a sequence with no processing
+    stages has M=0; its rate must be input-rate-limited, not a crash."""
+    seq = LogicalDistillationSequence(InitStage(mpf("1e-2"), 3, mpf("0.001")))
+    assert seq.M == 0
+    assert seq.input_rate_cap(1000) == mpmath.inf
+    assert seq.distillation_rate(1000, 0.5) == 0.5  # rate = input rate * E(=1)
+    assert seq.distillation_rate(1000, 0) == 1      # unconstrained: encoding rate
