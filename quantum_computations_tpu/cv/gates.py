@@ -172,7 +172,10 @@ class Mq(Measurement):
             return MeasurementResult(s, p)
 
         mode = jax.lax.dynamic_index_in_dim(mps[self.index], s_index, axis=1, keepdims=False)
-        mode = mode / jnp.sqrt(p)
+        # Underflow guard: in float32 a sampled bin's density can denormalise
+        # to 0, and 0/0 would poison the whole trajectory with NaNs.
+        p_safe = jnp.maximum(p, jnp.finfo(mps[self.index].real.dtype).tiny)
+        mode = mode / jnp.sqrt(p_safe)
         # Contract into whichever neighbour keeps the smaller intermediate
         # (shape-based and static; reference gates.py:110-113).
         if int(np.argmax(mode.shape)) == 0 and self.index != 0:
