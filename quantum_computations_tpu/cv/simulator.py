@@ -16,7 +16,7 @@ import jax
 import numpy as np
 
 from ..config import SVDOptions
-from ..utils import as_key
+from ..utils import annotate, as_key, maybe_trace
 from .gate_abc import Gate, MeasurementResult
 from .mps import MPS
 
@@ -64,7 +64,8 @@ class Simulator:
 
     def apply_gate(self, gate: Gate):
         start = timer()
-        output = gate.apply(self._state, key=self.next_key(), svd_options=self._svd_options)
+        with annotate(f"cv:{type(gate).__name__}"):
+            output = gate.apply(self._state, key=self.next_key(), svd_options=self._svd_options)
         end = timer()
 
         if isinstance(output, MeasurementResult):
@@ -78,15 +79,19 @@ class Simulator:
         if logger.isEnabledFor(logging.DEBUG):
             self.debug_info(self)
 
-    def run(self, initial_state: MPS) -> MPS:
+    def run(self, initial_state: MPS, *, profile_dir: str | None = None) -> MPS:
+        """Run the circuit. ``profile_dir`` (or env ``QCT_PROFILE_DIR``)
+        captures a jax.profiler trace of the whole run with one named span
+        per gate."""
         initial_state.validate()
         self._state = initial_state
         self.results = []
         circ_start = timer()
         logger.info(f"Total number of gates: {len(self._gates)}")
-        for i, gate in enumerate(self._gates):
-            logger.info(f"Gate {i}: {gate}")
-            self.apply_gate(gate)
+        with maybe_trace(profile_dir):
+            for i, gate in enumerate(self._gates):
+                logger.info(f"Gate {i}: {gate}")
+                self.apply_gate(gate)
         logger.info("Finished!")
         logger.info("Total time: " + format_time(timer() - circ_start))
         return self._state

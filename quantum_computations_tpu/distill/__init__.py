@@ -3,7 +3,7 @@
 Capability parity with the reference project
 ``fault-tolerant_interfaces_for_modular_quantum_computing_on_diverse_qubit_platforms``.
 This subsystem is deliberately NOT accelerator code: it is mpmath/sympy
-symbolic+arbitrary-precision work (dps=24 is load-bearing for the committed
+symbolic+arbitrary-precision work (dps=80 is load-bearing for the committed
 result datasets) and stays on the host, exactly as SURVEY.md §7.5 prescribes.
 
 - :mod:`.hardware`   — surface-code/bulk-seam error & rate models
@@ -27,7 +27,7 @@ from .sequence import (
 )
 from .codes import load_codes_table
 from .optimizer import CachedPruner, DFSArgs, dfs_code_sequence
-from .simulation import ActiveStage, Simulator
+from .simulation import Simulator
 
 __all__ = [
     "DepolarisationChannel", "balanced_depolarisation_noise", "find_code_size",
@@ -37,5 +37,5 @@ __all__ = [
     "ClassicalStage", "GrowStage", "InitStage", "InjectionStage",
     "LogicalDistillationSequence", "QuantumStage", "Stage", "scalar_error",
     "load_codes_table", "CachedPruner", "DFSArgs", "dfs_code_sequence",
-    "ActiveStage", "Simulator",
+    "Simulator",
 ]

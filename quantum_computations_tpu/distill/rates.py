@@ -1,17 +1,24 @@
 """Figure-data computation: rate surfaces and regime maps.
 
-Parity with reference ``fault-tolerant_.../compute_rate_data.py``: sequence
-loading/dedup (:13-45), per-(r, M) max over deserialized sequences (:30-66),
-transversal / lattice-surgery / distillation rate surfaces with the argmax
-regime map (:91-149) and the two-stage physical-distillation composition
-(:152-190).
+Capability parity with reference ``fault-tolerant_.../compute_rate_data.py``
+(sequence loading/dedup :13-45, optimal distillation rate per (r, M) :30-66,
+transversal / lattice-surgery / distillation surfaces + argmax regime map
+:91-149, two-stage physical-distillation composition :152-190), restructured:
+
+- The distillation surface accumulates **per unique sequence**: each sequence
+  found at memory point ``M_f`` contributes ``E * min(r, cap(M))`` on the
+  sub-grid ``M >= M_f``, applied as one vectorised outer min/max per
+  sequence — instead of re-scanning every sequence list per memory column.
+- The three gate-rate surfaces share one ``_rate_surface`` helper.
+- The physical-distillation composition resolves grid lookups with
+  ``np.searchsorted`` index arrays rather than per-cell bisect calls.
+
+All arithmetic on sequence figures of merit stays mpf-exact (object arrays).
 """
 
 from __future__ import annotations
 
 import json
-from bisect import bisect_right
-from collections import defaultdict
 from dataclasses import dataclass
 from typing import Callable
 
@@ -26,47 +33,49 @@ from .sequence import LogicalDistillationSequence as DistillationSequence
 
 
 def load_sequences(path: str) -> dict[int, list[DistillationSequence]]:
+    """Deserialise a search-output file, grouped by the memory point at
+    which each sequence was found."""
     with open(path) as fh:
         data = json.load(fh)
-    all_sequences = defaultdict(list)
+    by_memory: dict[int, list[DistillationSequence]] = {}
     for entry in data:
-        if entry["sequence"] is None:
-            continue
-        all_sequences[entry["memory"]].append(
-            DistillationSequence.deserialise(entry["sequence"])
-        )
-    return all_sequences
+        if entry["sequence"] is not None:
+            by_memory.setdefault(entry["memory"], []).append(
+                DistillationSequence.deserialise(entry["sequence"]))
+    return by_memory
+
+
+def _unique_sequences(by_memory: dict[int, list[DistillationSequence]]):
+    """(found_memory, sequence) pairs with serialisation-level duplicates
+    dropped, ascending in found_memory."""
+    seen: set[str] = set()
+    out = []
+    for M in sorted(by_memory):
+        for seq in by_memory[M]:
+            blob = seq.serialise()
+            if blob not in seen:
+                seen.add(blob)
+                out.append((M, seq))
+    return out
 
 
 def compute_distillation_data(path: str, r_rel: np.ndarray, Ms: np.ndarray) -> np.ndarray:
-    """Optimal distillation rate per (relative input rate, memory) over all
-    sequences found at memory points <= M."""
-    all_sequences = load_sequences(path)
-    loaded_Ms = sorted(all_sequences.keys())
-    seq_lists = [all_sequences[M] for M in loaded_Ms]
-
-    if Ms[-1] > loaded_Ms[-1] + 1000:
+    """Optimal distillation rate per (relative input rate, memory): the max
+    over every sequence found at a memory point <= M of
+    ``encoding_rate * min(r_rel, input_rate_cap(M))``."""
+    by_memory = load_sequences(path)
+    if Ms[-1] > max(by_memory) + 1000:
         raise ValueError("Insufficient data. Distillation rates will be suboptimal!")
 
-    # de-duplicate sequences across memory points
-    seen = set()
-    filtered: list[list[DistillationSequence]] = []
-    for seqs in seq_lists:
-        fresh = [s for s in seqs if s.serialise() not in seen]
-        seen |= {s.serialise() for s in fresh}
-        filtered.append(fresh)
-
+    r_col = np.asarray(r_rel, dtype=object)[:, None]
     rate = np.zeros((len(r_rel), len(Ms)), dtype=object)
-    for j, M in enumerate(Ms):
-        index = bisect_right(loaded_Ms, M)
-        if index == 0:
+    for M_found, seq in _unique_sequences(by_memory):
+        j0 = int(np.searchsorted(np.asarray(Ms), M_found, side="left"))
+        if j0 >= len(Ms):
             continue
-        rate_M = np.zeros(len(r_rel), dtype=object)
-        for seq in sum(filtered[:index], []):
-            E = seq.encoding_rate
-            C = seq.input_rate_cap(M)
-            rate_M = np.maximum(rate_M, E * np.minimum(r_rel, C))
-        rate[:, j] = rate_M
+        caps = np.asarray([seq.input_rate_cap(M) for M in Ms[j0:]], dtype=object)
+        surface = seq.encoding_rate * np.minimum(r_col, caps[None, :])
+        rate[:, j0:] = np.maximum(rate[:, j0:], surface)
     # NOTE: rates in units of the physical gate rate.
     return rate
 
@@ -104,89 +113,95 @@ class RateData:
     r_rel: np.ndarray
 
 
+def _rate_surface(rate_fn: Callable, Ls: list, r_rel: np.ndarray,
+                  Ms: np.ndarray) -> np.ndarray:
+    """Evaluate a gate-rate model over the (r_rel, Ms) grid; rows whose code
+    size search failed (L is None) stay at rate 0."""
+    surface = np.full((len(r_rel), len(Ms)), 0.0, dtype=object)
+    for i, (r, L) in enumerate(zip(r_rel, Ls)):
+        if not L:
+            continue
+        surface[i, :] = [rate_fn(L, 1, r, M) for M in Ms]
+    return surface
+
+
 def compute_rate_data(args: RateArgs, *, do_LS: bool = True, do_T: bool = True,
                       do_D: bool = True) -> RateData:
     """Rate surfaces for transversal gates, lattice surgery and logical
     distillation + the argmax regime map."""
-    r_rel, Ms, p_target, p_physical = args.r_rel, args.Ms, args.p_target, args.p_physical
+    r_rel, Ms = args.r_rel, args.Ms
     shape = (len(r_rel), len(Ms))
 
     idle_channel = DepolarisationChannel(args.p_idle)
 
-    def surface_code_error_rate(L: int, idle_time: Callable):
+    def seam_limited_error(L: int, idle_time: Callable):
         p_seam = idle_channel.apply(args.p_bell, idle_time(L), True)
-        return logical_error_rate_bulk_seam(L, p_physical, p_seam)
+        return logical_error_rate_bulk_seam(L, args.p_physical, p_seam)
 
-    def surface_code_size_fn(idle_time: Callable):
-        L, p = find_code_size(surface_code_error_rate, p_target, args=(idle_time,),
-                              stepsize=10, always_return=True)
-        return L if p <= p_target else None
+    def code_size_for(idle_time: Callable):
+        L, p = find_code_size(seam_limited_error, args.p_target,
+                              args=(idle_time,), stepsize=10, always_return=True)
+        return L if p <= args.p_target else None
 
-    L_T = lambda r_bell: surface_code_size_fn(lambda L: L**2 / r_bell)
-    L_LS = lambda r_bell: surface_code_size_fn(lambda L: L / r_bell)
-    L_D = surface_code_size_bulk_seam(p_physical, 0, p_target)
+    # Per-method seam idle times: transversal waits L^2 Bell pairs, lattice
+    # surgery waits L (reference compute_rate_data.py:109-111).
+    zeros = np.full(shape, 0.0, dtype=object)
+    rs_T = _rate_surface(
+        transversal_gate_rate,
+        [code_size_for(lambda L: L ** 2 / r) for r in r_rel],
+        r_rel, Ms) if do_T else zeros
+    rs_LS = _rate_surface(
+        lattice_surgery_gate_rate,
+        [code_size_for(lambda L: L / r) for r in r_rel],
+        r_rel, Ms) if do_LS else zeros
+    rs_D = (compute_distillation_data(args.sequence_file, r_rel, Ms)
+            if do_D and args.sequence_file else zeros)
 
-    rs_T = np.full(shape, 0.0, dtype=object)
-    if do_T:
-        L_Ts = [L_T(r) for r in r_rel]
-        for i, j in np.ndindex(shape):
-            L = L_Ts[i]
-            rs_T[i, j] = transversal_gate_rate(L, 1, r_rel[i], Ms[j]) if L else 0
-
-    rs_LS = np.full(shape, 0.0, dtype=object)
-    if do_LS:
-        L_LSs = [L_LS(r) for r in r_rel]
-        for i, j in np.ndindex(shape):
-            L = L_LSs[i]
-            rs_LS[i, j] = lattice_surgery_gate_rate(L, 1, r_rel[i], Ms[j]) if L else 0
-
-    rs_D = np.full(shape, 0.0, dtype=object)
-    if do_D and args.sequence_file:
-        rs_D = compute_distillation_data(args.sequence_file, r_rel, Ms)
-
-    rate_labels = ["Transversal", "Lattice surgery", "Distillation"]
     # Rates in physical-gate-rate units; x5 converts to logical gate rate.
-    rs = [r * 5 for r in (rs_T, rs_LS, rs_D)]
-
+    rs = [rs_T * 5, rs_LS * 5, rs_D * 5]
     Z = np.stack(rs)
     ids = np.argmax(Z, axis=0)
     Z = np.max(Z, axis=0)
     ids[Z == 0] = -1
-    return RateData(Z, ids, rs, rate_labels, L_D, Ms, r_rel)
+    L_D = surface_code_size_bulk_seam(args.p_physical, 0, args.p_target)
+    return RateData(Z, ids, rs, ["Transversal", "Lattice surgery", "Distillation"],
+                    L_D, Ms, r_rel)
 
 
 def add_physical_distillation(r_rel: np.ndarray, Ms: np.ndarray,
                               second_stage_data: RateData,
                               pd_table_path: str) -> tuple[np.ndarray, np.ndarray]:
     """Compose a physical-distillation first stage with precomputed
-    second-stage rate surfaces, optimising the memory split."""
+    second-stage rate surfaces, optimising the memory split.
+
+    For each total memory ``M_tot`` and raw rate ``r``, every split
+    ``M_tot = M_pd + M_star`` maps through the physical-distillation table to
+    a second-stage operating point ``(r_star(M_pd), M_star)``; the best split
+    wins."""
     Z_2nd, ids_2nd = second_stage_data.Z, second_stage_data.ids
-    Ms_2nd, r_rel_2nd = second_stage_data.Ms, second_stage_data.r_rel
+    Ms_2nd, r_rel_2nd = np.asarray(second_stage_data.Ms), second_stage_data.r_rel
 
     pd_rate = PhysicalDistillationRateExtrapolator(pd_table_path, max_mem=Ms[-1])
     dM = int(np.mean(np.diff(Ms)))
-    Ms_ext = list(range(0, Ms[0], dM)) + list(Ms)
+    Ms_ext = np.asarray(list(range(0, Ms[0], dM)) + list(Ms))
 
     shape = (len(r_rel), len(Ms))
     Z2 = np.zeros(shape, dtype=object)
     ids2 = np.full(shape, -1)
     for i, r in enumerate(r_rel):
         r_stars = [pd_rate.eval(r, M) for M in Ms_ext]
+        # second-stage row index per PD memory allocation (-1: off-grid)
+        x_idx = np.searchsorted(r_rel_2nd, r_stars, side="right") - 1
         for j, M_tot in enumerate(Ms):
-            r_list, id_list = [], []
-            for M, r_star in zip(Ms_ext, r_stars):
-                M_star = M_tot - M
-                if M_star < 0:
-                    break
-                x_idx = bisect_right(r_rel_2nd, r_star) - 1
-                y_idx = bisect_right(Ms_2nd, M_star) - 1
-                if x_idx < 0 or y_idx < 0:
-                    continue
-                r_list.append(Z_2nd[x_idx, y_idx])
-                id_list.append(ids_2nd[x_idx, y_idx])
-            if not r_list:
+            n_splits = int(np.searchsorted(Ms_ext, M_tot, side="right"))
+            y_idx = np.searchsorted(Ms_2nd, M_tot - Ms_ext[:n_splits],
+                                    side="right") - 1
+            valid = (x_idx[:n_splits] >= 0) & (y_idx >= 0)
+            if not valid.any():
                 continue
-            index = int(np.argmax(r_list))
-            Z2[i, j] = r_list[index]
-            ids2[i, j] = id_list[index]
+            xs, ys = x_idx[:n_splits][valid], y_idx[valid]
+            cell_rates = Z_2nd[xs, ys]
+            best = int(np.argmax(cell_rates))
+            Z2[i, j] = cell_rates[best]
+            ids2[i, j] = ids_2nd[xs[best], ys[best]]
     return Z2, ids2

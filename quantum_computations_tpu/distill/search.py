@@ -19,7 +19,7 @@ import mpmath
 import numpy as np
 from mpmath import mpf
 
-mpmath.mp.dps = 24
+mpmath.mp.dps = 80
 
 from .hardware import surface_code_size
 from .optimizer import DFSArgs, dfs_code_sequence

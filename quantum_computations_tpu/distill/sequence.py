@@ -5,7 +5,12 @@ Parity with reference ``fault-tolerant_.../sequence_class.py``: Stage registry
 with a binomial failure model (:67-81), [n,1,n] classical repetition stages
 (:84-101), init/injection/grow stages (:104-169) and the incremental
 ``LogicalDistillationSequence`` recurrences for memory floor, encoding rate,
-space-time volume and multiplicity (:172-278). mpmath dps=24 load-bearing.
+space-time volume and multiplicity (:172-278).
+
+Precision: the reference sets ``mp.dps = 24`` at ``sequence_class.py:5`` but
+then imports ``ConstantRateDistillation/Distillation_functions.py`` whose
+line 5 sets ``mp.dps = 80`` — mpmath precision is a process-global, so the
+reference pipeline *effectively* runs at 80 digits. We pin 80 explicitly.
 """
 
 from __future__ import annotations
@@ -19,7 +24,7 @@ from mpmath import binomial, inf, mpf
 from .hardware import balanced_depolarisation_noise, surface_code_error, surface_code_qubits
 from .repetition import ED_n_1_n
 
-mpmath.mp.dps = 24
+mpmath.mp.dps = 80
 
 
 def scalar_error(p):

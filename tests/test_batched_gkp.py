@@ -1,5 +1,6 @@
 """Per-gadget-jit batched runner vs DV reference and compile-reuse behaviour."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -24,6 +25,7 @@ def run_batched(gates, init_states, batch, seed=0):
     return np.asarray(rho_re) + 1j * np.asarray(rho_im), runner
 
 
+@pytest.mark.slow
 def test_batched_single_qubit_matches_dv():
     gates = [dvg.H(0), dvg.T(0)]
     rhos, _ = run_batched(gates, [DVState.ZERO], batch=6)
@@ -48,6 +50,7 @@ def test_compile_cache_reused_across_circuits():
     assert len(runner._cache) == n_after_first  # same kinds/shapes -> full reuse
 
 
+@pytest.mark.slow
 def test_batched_matches_compiled_distribution():
     """Batched runner and whole-circuit compiled engine agree statistically."""
     from quantum_computations_tpu.gkp.compiled import CompiledGKP
@@ -69,6 +72,7 @@ def test_batched_matches_compiled_distribution():
     assert fid_batched > 0.75
 
 
+@pytest.mark.slow
 def test_adaptive_trimming_shrinks_bonds_and_matches_dv():
     gates = [dvg.H(0), dvg.P(0)]
     circ = MBGKPCircuit.transpile(gates, 1)
@@ -86,6 +90,7 @@ def test_adaptive_trimming_shrinks_bonds_and_matches_dv():
     assert np.mean(fids) > 0.7, fids
 
 
+@pytest.mark.slow
 def test_op_granularity_matches_dv():
     gates = [dvg.H(0), dvg.CZ(0, 1)]
     circ = MBGKPCircuit.transpile(gates, 2)

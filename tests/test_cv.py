@@ -87,6 +87,7 @@ def test_insert_middle_and_edges():
     mps.validate()
 
 
+@pytest.mark.slow
 def test_bs_on_two_vacua_is_identity():
     # Beam splitter leaves |vac,vac> invariant.
     vac = State.VACUUM.eval(QS)
@@ -111,6 +112,7 @@ def test_displacements():
     np.testing.assert_allclose(np.abs(np.asarray(mps2[0][0, :, 0])), np.abs(vac), atol=1e-7)
 
 
+@pytest.mark.slow
 def test_cz_creates_correlation_and_truncates():
     eps = db2eps(10.0)
     zero = State.GKP_ZERO.eval(QS, eps)

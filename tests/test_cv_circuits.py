@@ -14,6 +14,7 @@ EPS = db2eps(10.0)
 SVD = {"max_bond_dim": 16, "rel_err": 1e-2}
 
 
+@pytest.mark.slow
 def test_quadrature_correction_preserves_logical_state():
     circ = ccs.quadrature_correction(EPS)
     sim = Simulator(circ, rng_seed=2, svd_options=SVD)

@@ -18,6 +18,7 @@ DQ = (QS[-1] - QS[0]) / (len(QS) - 1)
 SVD = {"max_bond_dim": 12, "rel_err": 1e-2}
 
 
+@pytest.mark.slow
 def test_cx_displaces_target_by_control():
     # |q1 ~ 2> control, vacuum target: CX shifts target to ~ +2.
     vac = np.asarray(State.VACUUM.eval(QS))
@@ -43,6 +44,7 @@ def test_d_gate_combines_displacements():
     assert overlap > 0.98
 
 
+@pytest.mark.slow
 def test_mp_measures_momentum():
     # Momentum-squeezed state: Mp results concentrate near 0.
     eps = db2eps(10.0)

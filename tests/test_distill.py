@@ -124,6 +124,33 @@ def test_reference_sequences_deserialise_and_are_consistent():
     assert checked >= 10
 
 
+@pytest.mark.skipif(not os.path.isdir(REF_DATA), reason="reference data not mounted")
+def test_reference_sequences_12_tail_precision():
+    """Golden at the p_target=1e-12 tail (sequences_12.dat): deserialising a
+    committed sequence recomputes p_out through our recurrences at dps=80 —
+    the reference's effective precision (Distillation_functions.py:5 sets
+    mp.dps=80 after sequence_class.py:5's 24; last setter wins process-wide).
+    At dps=24 these tails are exactly where arithmetic can diverge."""
+    assert mpmath.mp.dps == 80
+    with open(os.path.join(REF_DATA, "sequences_12.dat")) as fh:
+        data = json.load(fh)
+    entries = [e for e in data if e["sequence"] is not None]
+    assert len(entries) >= 800  # BASELINE.md: 841 non-null of 1222
+    # Sample across the memory range, including both ends.
+    sample = [entries[0], entries[len(entries) // 2], entries[-1]] + entries[::200]
+    for entry in sample:
+        seq = LogicalDistillationSequence.deserialise(entry["sequence"])
+        # Every committed optimal sequence must meet the dataset's target.
+        assert float(seq.p_out) < 1e-12, (entry["memory"], float(seq.p_out))
+        # And must fit in the memory it was found for.
+        assert seq.min_memory_req <= entry["memory"]
+        # Stage-recorded p_L must match our surface-code model bit-tightly.
+        for st in seq.stages[1:]:
+            if isinstance(st, (ClassicalStage, QuantumStage)):
+                want = surface_code_error(st.L, st.p_local)
+                assert abs(float(st.p_L - want)) <= float(want) * 1e-12
+
+
 def test_pruner_dominance():
     init = InitStage(mpf("1.25e-2"), 3, mpf("0.001"))
     seq = LogicalDistillationSequence(init)

@@ -102,4 +102,5 @@ def test_optim_search_job_smoke():
     spec = SearchSpec(mpf("1.25e-2"), mpf("1e-2"), 5)  # easy target: shallow search
     results, seqs = optim_search_job(3000, spec)
     assert len(results) == 2
-    assert {r["input_rate"] for r in results} == {"0", "inf"}
+    # Reference data files serialise mpmath.inf as "+inf" (str(mpf('+inf'))).
+    assert {r["input_rate"] for r in results} == {"0", "+inf"}

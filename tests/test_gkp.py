@@ -86,6 +86,7 @@ def test_bell_state_is_logical_bell():
     assert fid > 0.95
 
 
+@pytest.mark.slow
 def test_insert_bell_mid_chain():
     zero = CVState.GKP_ZERO.eval(QS, EPS)
     mps = MPS(QS, [zero, zero])

@@ -35,8 +35,8 @@ def build(circuit, N=1):
 @pytest.mark.parametrize("gates,label", [
     ([dvg.H(0)], "H"),
     ([dvg.P(0)], "P"),
-    ([dvg.T(0)], "T"),
-    ([dvg.H(0), dvg.T(0), dvg.H(0)], "HTH"),
+    pytest.param([dvg.T(0)], "T", marks=pytest.mark.slow),
+    pytest.param([dvg.H(0), dvg.T(0), dvg.H(0)], "HTH", marks=pytest.mark.slow),
 ])
 def test_compiled_single_qubit_matches_dv(gates, label):
     prog = build(gates)
@@ -51,6 +51,7 @@ def test_compiled_single_qubit_matches_dv(gates, label):
     assert np.mean(fids) > 0.8, (label, fids)
 
 
+@pytest.mark.slow
 def test_compiled_jit_and_vmap():
     prog = build([dvg.H(0)])
     init = parse_to_mps([DVState.ZERO], EPS, QS)
@@ -69,6 +70,7 @@ def test_compiled_jit_and_vmap():
     np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
 
 
+@pytest.mark.slow
 def test_compiled_t_correction_consistency():
     """The classically-controlled P correction after T must keep trajectories
     consistent with the DV result on average (exercises traced control)."""

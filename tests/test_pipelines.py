@@ -156,6 +156,7 @@ def test_grover_pipeline_smoke(tmp_path):
     assert len(saved) == 1
 
 
+@pytest.mark.slow
 def test_rb_sample_depth_smoke():
     samples = rb.sample_depth(10.0, 3, 1, 5, grid_points=300, max_bond_dim=12)
     assert len(samples) == 1

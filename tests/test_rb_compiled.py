@@ -1,10 +1,12 @@
 """On-chip RB pipeline tests (CPU, small params)."""
 
+import pytest
 import numpy as np
 
 from quantum_computations_tpu.pipelines.rb_compiled import sample_depth_compiled
 
 
+@pytest.mark.slow
 def test_sample_depth_compiled_produces_valid_samples():
     samples = sample_depth_compiled(
         10.0, 2, num_circuits=1, traj_per_circuit=3, rng_seed=0,
@@ -18,6 +20,7 @@ def test_sample_depth_compiled_produces_valid_samples():
         assert s["db"] == 10.0 and s["depth"] == 2
 
 
+@pytest.mark.slow
 def test_high_squeezing_gives_high_fidelity():
     # 13 dB peaks need a finer grid than 300 points over [-20, 20]; use 11 dB
     # with moderate resolution for a fast check.

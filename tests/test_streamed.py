@@ -1,5 +1,6 @@
 """Streamed pair-SVD vs the materialised warp+SVD path."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -46,6 +47,7 @@ def test_streamed_matches_materialised():
     np.testing.assert_allclose(kept**2, s_exact[: int(rank_s)], rtol=1e-2)
 
 
+@pytest.mark.slow
 def test_streamed_in_bs_gate_big_threshold():
     """Force the streamed path through the BS gate by lowering the threshold."""
     import quantum_computations_tpu.cv.gates as cvg
