@@ -1,16 +1,28 @@
 """GKP error-correction validation suite.
 
-Parity with reference ``performance_analysis_.../numerical_tests.ipynb``
-as runnable code (the reference validates against StrawberryFields, which is
-not available here; the framework's own grid projectors serve as the fast
-path and the analytic formulas as the oracle):
+Parity with reference ``performance_analysis_.../numerical_tests.ipynb`` AND
+the experiments of ``figures.ipynb`` as runnable code (the reference
+validates against StrawberryFields, which is not available here; the
+framework's own grid kernels serve as the fast path and the analytic
+formulas as the oracle):
 
 - :func:`gaussian_product_identity_check` — Monte-Carlo check of the
-  Gaussian-product identity ("Lemma 2 App. A", cell 2).
+  Gaussian-product identity ("Lemma 2 App. A", numerical_tests cell 2).
 - :func:`steane_ec_width_test` — Steane-type EC on a finite-energy GKP state,
   fitting a sum of lattice Gaussians and comparing the output width to the
   analytic eps_ancilla*(1+2x)/(1+x) (q) and eps_ancilla*(1+x)/(2+x) (p)
-  formulas (cells 4-7).
+  formulas (numerical_tests cells 4-7).
+- :func:`knill_steane_equivalence_check` — runs the Knill (teleportation) and
+  Steane (two-ancilla) EC circuits on the same coherent input with the same
+  post-selected homodyne results and compares output Wigner functions
+  (figures.ipynb cells 2-5; the reference runs both in StrawberryFields's
+  bosonic backend — here both reduce exactly on the grid).
+- :func:`imperfect_p_gate_experiment` / :func:`imperfect_cx_gate_experiment`
+  — perfect CV operations implement imperfect *logical* gates; logical
+  fidelity dips after the Gaussian gate and recovers after the symmetric GKP
+  projector (figures.ipynb cells 9-10).
+- :func:`bell_state_comparison` — qunaught-states-through-a-beamsplitter vs
+  GKP-states-through-CX Bell preparation (figures.ipynb cell 12).
 """
 
 from __future__ import annotations
@@ -20,7 +32,13 @@ from scipy.optimize import curve_fit
 
 import jax.numpy as jnp
 
-from .gkp_ec import fourier, gkp_project_asym, gkp_sym, normalise
+from ..cv.states import coherent, comb_sym
+from ..ops.interp import (
+    CFT, fourier as fourier_gate, rotation_maps, shear_maps, warp_2d,
+    whittaker_shannon, wigner,
+)
+from .gkp_ec import fourier, gkp_project_asym, gkp_project_sym, gkp_sym, \
+    logical_fidelity, normalise
 
 
 def gaussian_product_identity_check(samples: int = 100, seed: int = 1,
@@ -122,6 +140,139 @@ def steane_ec_width_test(epsilon_in: float = 0.1, epsilon_ancilla: float = 0.08,
     return out
 
 
+# ---------------------------------------------------------------------------
+# figures.ipynb experiments
+# ---------------------------------------------------------------------------
+
+def knill_steane_equivalence_check(epsilon: float = 0.095,
+                                   grid_points: int = 900,
+                                   s_q: float | None = None,
+                                   s_p: float | None = None,
+                                   displacement: complex | None = None) -> dict:
+    """Steane EC is a special case of Knill EC (figures.ipynb cells 2-5).
+
+    Runs both circuits on the same coherent input with the same post-selected
+    homodyne results and returns the max |Wigner difference| of the outputs
+    (relative to the Wigner peak) plus the wavefunction overlap.
+
+    Knill (reference cell 2, SF ops): input (x) GKP0 (x) GKP0; R(pi/2) on the
+    first ancilla; CX(+1) anc1->anc2; CX(-1) anc1->input; measure q(input)=s_q,
+    p(anc1)=s_p; output = anc2. Post-selection reduces this exactly on the
+    grid: T(x1,x2) = F[anc](x1) anc(x2-x1), rows scaled by psi_in(s_q+x1),
+    then a CFT slice at p=s_p.
+
+    Steane: CZ(input,anc1); R(-pi/2); CZ(input,anc2'=R(pi)anc2); R(pi/2);
+    p-measurements s_q/s_p on the ancillas; displacement by -(s_q + i s_p).
+    Each post-selected CZ+p-measurement multiplies by CFT[anc](s - x).
+    """
+    SQPI = np.sqrt(np.pi)
+    s_q = 0.4 * SQPI if s_q is None else s_q
+    s_p = 0.1 * SQPI if s_p is None else s_p
+    d = (1.8 + 0.5j) * SQPI if displacement is None else displacement
+
+    qs = jnp.linspace(-18, 18, grid_points)
+    dq = float((qs[-1] - qs[0]) / (len(qs) - 1))
+    psi_in = coherent(qs, d)  # mean x = Re d, mean p = Im d (hbar = 1)
+    anc = normalise(qs, gkp_sym(qs, epsilon, (1, 0)))
+
+    # -- Knill --------------------------------------------------------------
+    ancR = fourier_gate(qs, anc)
+    X1, X2 = jnp.meshgrid(qs, qs, indexing="ij")
+    nrm = 1.0 / jnp.sqrt(jnp.trapezoid(jnp.abs(gkp_sym(qs, epsilon, (1, 0))) ** 2, qs))
+    anc_shift = nrm * gkp_sym((X2 - X1).reshape(-1), epsilon, (1, 0)).reshape(X1.shape)
+    T = ancR[:, None] * anc_shift
+    phi = coherent(s_q + qs, d)[:, None] * T
+    out_knill = normalise(qs, jnp.sum(
+        jnp.exp(-1j * s_p * qs)[:, None] * phi, axis=0) * dq / np.sqrt(2 * np.pi))
+
+    # -- Steane -------------------------------------------------------------
+    ps, anc_hat = CFT(qs, anc)
+    f1 = whittaker_shannon(ps, anc_hat, s_q - qs)
+    ps2, anc2_hat = CFT(qs, anc[::-1])  # R(pi) = parity on the second ancilla
+    f2 = whittaker_shannon(ps2, anc2_hat, s_p - qs)
+    psi = fourier_gate(qs, psi_in * f1, inv=True) * f2
+    psi = fourier_gate(qs, psi)
+    psi = whittaker_shannon(qs, psi, qs + s_q) * jnp.exp(-1j * s_p * qs)
+    out_steane = normalise(qs, psi)
+
+    window = jnp.linspace(-3 * SQPI, 3 * SQPI, 80)
+    _, Wk = wigner(window, whittaker_shannon(qs, out_knill, window))
+    _, Ws = wigner(window, whittaker_shannon(qs, out_steane, window))
+    Wk, Ws = np.asarray(Wk), np.asarray(Ws)
+    overlap = float(abs(np.trapezoid(
+        np.conj(np.asarray(out_knill)) * np.asarray(out_steane), np.asarray(qs))))
+    return {
+        "max_wigner_diff": float(np.abs(Wk - Ws).max()),
+        "rel_wigner_diff": float(np.abs(Wk - Ws).max() / np.abs(Wk).max()),
+        "overlap": overlap,
+    }
+
+
+def imperfect_p_gate_experiment(epsilon: float = 0.1,
+                                grid_points: int = 700) -> dict:
+    """Perfect CV P-gate on |+>_gkp implements an imperfect logical gate;
+    the symmetric GKP projector restores the logical fidelity
+    (figures.ipynb cell 9). Returns fidelity at the three checkpoints."""
+    qs = jnp.linspace(-15, 15, grid_points)
+    plus = normalise(qs, gkp_sym(qs, epsilon, (1, 1)))
+    zero = normalise(qs, gkp_sym(qs, epsilon, (1, 0)))
+    one = normalise(qs, gkp_sym(qs, epsilon, (0, 1)))
+    f_init = logical_fidelity(qs, plus)
+    sheared = plus * jnp.exp(0.5j * qs ** 2)
+    f_gate = logical_fidelity(qs, sheared)
+    projected = normalise(qs, gkp_project_sym(qs, sheared, zero, one))
+    f_proj = logical_fidelity(qs, projected)
+    return {"initial": f_init, "after_gate": f_gate, "after_projection": f_proj}
+
+
+def imperfect_cx_gate_experiment(epsilon: float = 0.15,
+                                 grid_points: int = 500) -> dict:
+    """Two-mode analogue with a CX controlled displacement on |+>|+>
+    (figures.ipynb cell 10)."""
+    qs = jnp.linspace(-15, 15, grid_points)
+    dq = float((qs[-1] - qs[0]) / len(qs))
+    plus = normalise(qs, gkp_sym(qs, epsilon, (1, 1)))
+    zero = normalise(qs, gkp_sym(qs, epsilon, (1, 0)))
+    one = normalise(qs, gkp_sym(qs, epsilon, (0, 1)))
+
+    state = jnp.einsum("i,j->ij", plus, plus)
+    f_init = logical_fidelity(qs, state)
+    x_src, y_src = shear_maps(qs, 1.0, True)
+    state = warp_2d(qs, state[None, :, :, None], x_src, y_src)[0, :, :, 0]
+    f_gate = logical_fidelity(qs, state)
+    state = gkp_project_sym(qs, state, zero, one, 0)
+    state = gkp_project_sym(qs, state, zero, one, 1)
+    state = state / jnp.sqrt(jnp.sum(jnp.abs(state) ** 2) * dq ** 2)
+    f_proj = logical_fidelity(qs, state)
+    return {"initial": f_init, "after_gate": f_gate, "after_projection": f_proj}
+
+
+def bell_state_comparison(epsilon: float = 0.15, grid_points: int = 500) -> dict:
+    """Qunaught-states-through-a-beamsplitter vs GKP-states-through-CX Bell
+    preparation (figures.ipynb cell 12): the qunaught construction yields the
+    higher-fidelity logical Bell state."""
+    qs = jnp.linspace(-15, 15, grid_points)
+    plus = normalise(qs, gkp_sym(qs, epsilon, (1, 1)))
+    zero = normalise(qs, gkp_sym(qs, epsilon, (1, 0)))
+    qn = normalise(qs, comb_sym(qs, epsilon, np.sqrt(2 * np.pi)))
+
+    bell_qn = jnp.einsum("i,j->ij", qn, qn)
+    before_qn = logical_fidelity(qs, bell_qn)
+    x_rot, y_rot = rotation_maps(qs, -np.pi / 4)
+    bell_qn = warp_2d(qs, bell_qn[None, :, :, None], x_rot, y_rot)[0, :, :, 0]
+    after_qn = logical_fidelity(qs, bell_qn)
+
+    bell_gkp = jnp.einsum("i,j->ij", plus, zero)
+    before_gkp = logical_fidelity(qs, bell_gkp)
+    x_shear, y_shear = shear_maps(qs, 1.0, True)
+    bell_gkp = warp_2d(qs, bell_gkp[None, :, :, None], x_shear, y_shear)[0, :, :, 0]
+    after_gkp = logical_fidelity(qs, bell_gkp)
+    return {
+        "qunaught_before": before_qn, "qunaught_bell": after_qn,
+        "gkp_before": before_gkp, "gkp_bell": after_gkp,
+    }
+
+
 if __name__ == "__main__":
     failed = gaussian_product_identity_check()
     print(f"Gaussian-product identity: {failed} failed cases")
@@ -129,3 +280,7 @@ if __name__ == "__main__":
     print("Steane EC width test:")
     for k, v in res.items():
         print(f"  {k}: {v:.5f}")
+    print("Knill-Steane equivalence:", knill_steane_equivalence_check())
+    print("Imperfect P gate:", imperfect_p_gate_experiment())
+    print("Imperfect CX gate:", imperfect_cx_gate_experiment())
+    print("Bell comparison:", bell_state_comparison())
