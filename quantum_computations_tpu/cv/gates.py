@@ -57,20 +57,27 @@ def _split(tensor, left, right, opts: SVDOptions, key):
 
 
 # Above this many elements of the contracted (a, d, d, b) tensor, two-mode
-# warp gates stream the contraction+warp+SVD instead of materialising the
+# gates stream the contraction+transform+SVD instead of materialising the
 # matrix (ops/streamed.py) — the matrix alone would be tens of GB at
-# production bond dimensions. DISABLED by default on this image: the
-# streamed executable (gathers inside fori_loop) faults the axon TPU worker
-# ("kernel fault"); enable with QCT_STREAM_THRESHOLD (elements) once the
-# backend issue is resolved — the implementation itself is verified on CPU
-# (tests/test_streamed.py).
+# production bond dimensions. The streamed block transform is gather-free
+# (FFT shears / phases / transposes), so it is TPU-safe; 1<<28 elements
+# (2 GB complex64 materialised) is a comfortable single-chip default.
+# QCT_WARP selects the materialised transform backend for BS/CX:
+# "fft" (default: spectrally exact, gather-free) or "gather" (legacy
+# bilinear, matches scipy RegularGridInterpolator semantics bit-for-bit).
 import os as _os
-_STREAM_THRESHOLD = int(_os.environ.get("QCT_STREAM_THRESHOLD", 1 << 40))
+_STREAM_THRESHOLD = int(_os.environ.get("QCT_STREAM_THRESHOLD", 1 << 28))
+_WARP_BACKEND = _os.environ.get("QCT_WARP", "fft")
 
 
-def _warped_pair_split(mps, left_index, right_index, x_src, y_src, opts, key):
-    """Contract neighbours, resample at (x_src, y_src), SVD-split — choosing
-    the materialised or streamed implementation by size."""
+def _pair_transform_split(mps, left_index, right_index, warp_params, opts, key):
+    """Contract neighbours, apply the two-mode grid transform, SVD-split —
+    choosing the materialised or streamed implementation by size.
+
+    ``warp_params`` is an :func:`..ops.interp.affine_warp` descriptor; for
+    ("swap",) the transform exchanges the modes, so the split below is the
+    SWAP contract-and-resplit of reference gates.py:48-55.
+    """
     t1, t2 = mps[left_index], mps[right_index]
     a, d, _ = t1.shape
     b = t2.shape[-1]
@@ -82,14 +89,21 @@ def _warped_pair_split(mps, left_index, right_index, x_src, y_src, opts, key):
         # reference power-iteration heuristic (mps.py:29)
         q = 7 if cap + 10 < 0.1 * min(a * d, d * b) else 4
         m1, m2, rank = streamed_pair_svd(
-            t1, t2, qs, x_src, y_src,
+            t1, t2, qs, warp_params,
             max_bond_dim=opts.max_bond_dim, abs_err=opts.abs_err,
             rel_err=opts.rel_err, key=key, power_iters=q,
         )
         m1, m2 = trim_split(m1, m2, rank)
     else:
         res = jnp.tensordot(t1, t2, axes=(2, 0))
-        res = interp.warp_2d(qs, res, x_src, y_src)
+        if _WARP_BACKEND == "gather" and warp_params[0] in ("rot", "shear"):
+            if warp_params[0] == "rot":
+                x_src, y_src = interp.rotation_maps(qs, warp_params[1])
+            else:
+                x_src, y_src = interp.shear_maps(qs, warp_params[1], warp_params[2])
+            res = interp.warp_2d(qs, res, x_src, y_src)
+        else:
+            res = interp.affine_warp(qs, res, warp_params)
         m1, m2 = _split(res, (0, 1), (2, 3), opts, key)
     mps[left_index], mps[right_index] = m1, m2
 
@@ -125,10 +139,8 @@ class SWAP(TwoModeGate):
     """Swap two neighbouring modes (contract + re-split; reference gates.py:48-55)."""
 
     def apply(self, mps: MPS, *, key=None, svd_options=None, **_):
-        m1, m2 = mps[self.left_index], mps[self.right_index]
-        res = jnp.einsum("ijk,klm->ijlm", m1, m2)
-        m1, m2 = _split(res, (0, 2), (1, 3), _opts(self, svd_options), key)
-        mps[self.left_index], mps[self.right_index] = m1, m2
+        _pair_transform_split(mps, self.left_index, self.right_index,
+                              ("swap",), _opts(self, svd_options), key)
 
 
 class BS(TwoModeGate):
@@ -143,10 +155,8 @@ class BS(TwoModeGate):
 
     def apply(self, mps: MPS, *, key=None, svd_options=None, **_):
         angle = self.arg * (-1) ** (self.index1 > self.index2) * (-1) ** self.dagger
-        qs = jnp.asarray(mps.domain)
-        x_src, y_src = interp.rotation_maps(qs, angle)
-        _warped_pair_split(mps, self.left_index, self.right_index, x_src, y_src,
-                           _opts(self, svd_options), key)
+        _pair_transform_split(mps, self.left_index, self.right_index,
+                              ("rot", angle), _opts(self, svd_options), key)
 
 
 class Mq(Measurement):
@@ -228,14 +238,9 @@ class CZ(TwoModeGate):
         super().__init__(index1, index2, arg=s, **kwargs)
 
     def apply(self, mps: MPS, *, key=None, svd_options=None, **_):
-        qs = jnp.asarray(mps.domain)
-        cz = jnp.exp((-1) ** self.dagger * 1j * self.arg * jnp.outer(qs, qs))
-        res = jnp.einsum(
-            "ijk,klm,jl->ijlm", mps[self.left_index], mps[self.right_index],
-            cz.astype(complex_dtype()),
-        )
-        m1, m2 = _split(res, (0, 1), (2, 3), _opts(self, svd_options), key)
-        mps[self.left_index], mps[self.right_index] = m1, m2
+        s = (-1) ** self.dagger * self.arg
+        _pair_transform_split(mps, self.left_index, self.right_index,
+                              ("cz", s), _opts(self, svd_options), key)
 
 
 class CX(TwoModeGate):
@@ -248,11 +253,10 @@ class CX(TwoModeGate):
         return Gate.__repr__(self) + f"_{self.index1},{self.index2}"
 
     def apply(self, mps: MPS, *, key=None, svd_options=None, **_):
-        qs = jnp.asarray(mps.domain)
         gain = self.arg * (-1) ** self.dagger
-        x_src, y_src = interp.shear_maps(qs, gain, control_left=self.index1 < self.index2)
-        _warped_pair_split(mps, self.left_index, self.right_index, x_src, y_src,
-                           _opts(self, svd_options), key)
+        _pair_transform_split(mps, self.left_index, self.right_index,
+                              ("shear", gain, self.index1 < self.index2),
+                              _opts(self, svd_options), key)
 
 
 class F(SingleModeGate):

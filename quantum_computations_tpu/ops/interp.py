@@ -205,3 +205,89 @@ def shear_2d(qs: jax.Array, tensor: jax.Array, gain, control_left: bool):
     """CX action: controlled displacement."""
     x_src, y_src = shear_maps(qs, gain, control_left)
     return warp_2d(qs, tensor, x_src, y_src)
+
+
+# ---------------------------------------------------------------------------
+# FFT-based affine warps (gather-free; TPU-native path)
+# ---------------------------------------------------------------------------
+#
+# Every two-mode warp in this framework is AFFINE: the beamsplitter is a 2-D
+# rotation, CX a shear. A shear along one grid axis is a per-slice constant
+# shift, which the FFT applies exactly (band-limited/sinc interpolation, the
+# same convention the reference itself uses for displacements,
+# ``cv_simulator/utils.py:9-18``): shift by delta = multiply the spectrum by
+# exp(-2*pi*i*f*delta). A rotation decomposes into three shears
+# (the classic three-pass image rotation):
+#     R(theta) = ShearX(-tan(theta/2)) . ShearY(sin(theta)) . ShearX(...)
+# so BS/CX become batched FFT -> chirp phase -> iFFT chains with NO gather
+# ops at all — the bilinear-gather path (warp_2d) is pathologically slow on
+# this TPU backend at production grids and can fault the worker.
+#
+# Boundary semantics: the FFT wraps periodically where the gather zero-fills;
+# for wavefunctions supported well inside the domain (the CV simulator's
+# operating regime, |psi(edge)| ~ 1e-8) the difference is negligible, and the
+# interpolation itself is spectrally exact instead of O(dq^2) bilinear.
+
+def shear_fft(qs: jax.Array, tensor: jax.Array, gain, shear_axis: int,
+              coord_axis: int):
+    """out[..., i_c, ..., i_s, ...] = in evaluated at x_s - gain * x_c:
+    shift along `shear_axis` by gain * (coordinate of `coord_axis`)."""
+    d = qs.shape[0]
+    dq = (qs[-1] - qs[0]) / (d - 1)
+    freqs = jnp.fft.fftfreq(d, d=dq)  # cycles per unit length
+
+    spec = jnp.fft.fft(tensor, axis=shear_axis)
+    shape = [1] * tensor.ndim
+    shape[shear_axis] = d
+    f = freqs.reshape(shape)
+    shape = [1] * tensor.ndim
+    shape[coord_axis] = d
+    delta = (gain * qs).reshape(shape)
+    spec = spec * jnp.exp(-2j * jnp.pi * f * delta)
+    return jnp.fft.ifft(spec, axis=shear_axis)
+
+
+def rotate_fft(qs: jax.Array, tensor: jax.Array, angle, axis_x: int = 1,
+               axis_y: int = 2):
+    """Rotation warp out(v) = in(R v), R = [[c, s], [-s, c]] (the
+    ``rotation_maps`` convention), via three FFT shears."""
+    # R = Sx(a) Sy(b) Sx(a) with a = tan(theta/2), b = -sin(theta); composing
+    # function pullbacks left-to-right, and shear_fft shifting by -gain*coord,
+    # the per-pass gains are the negated shear parameters.
+    g_x = -jnp.tan(jnp.asarray(angle) / 2)
+    g_y = jnp.sin(jnp.asarray(angle))
+    out = shear_fft(qs, tensor, g_x, axis_x, axis_y)
+    out = shear_fft(qs, out, g_y, axis_y, axis_x)
+    return shear_fft(qs, out, g_x, axis_x, axis_y)
+
+
+def affine_warp(qs: jax.Array, tensor: jax.Array, params: tuple,
+                axis_x: int = 1, axis_y: int = 2):
+    """Dispatch a two-mode grid transform described by ``params`` — the
+    gather-free kernel menu covering every two-mode CV gate:
+
+    ("rot", angle)                — beamsplitter rotation (3 FFT shears)
+    ("shear", gain, control_left) — CX controlled displacement (1 FFT shear)
+    ("cz", s)                     — CZ phase exp(i s q_x q_y) (elementwise)
+    ("swap",)                     — mode exchange (middle-axis transpose)
+    ("id",)                       — no-op (plain contraction)
+    """
+    kind = params[0]
+    if kind == "rot":
+        return rotate_fft(qs, tensor, params[1], axis_x, axis_y)
+    if kind == "shear":
+        gain, control_left = params[1], params[2]
+        if control_left:
+            return shear_fft(qs, tensor, gain, axis_y, axis_x)
+        return shear_fft(qs, tensor, gain, axis_x, axis_y)
+    if kind == "cz":
+        d = qs.shape[0]
+        phase = jnp.exp(1j * params[1] * jnp.outer(qs, qs))
+        shape = [1] * tensor.ndim
+        shape[axis_x], shape[axis_y] = d, d
+        return tensor * phase.reshape(shape)
+    if kind == "swap":
+        return jnp.swapaxes(tensor, axis_x, axis_y)
+    if kind == "id":
+        return tensor
+    raise ValueError(f"unknown affine warp {params!r}")

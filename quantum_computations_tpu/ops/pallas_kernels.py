@@ -180,3 +180,113 @@ def apply_1q_xla(state_re, state_im, u, qubit: int, num_qubits: int):
     out_r = jnp.einsum("bc,acj->abj", ur, xr) - jnp.einsum("bc,acj->abj", ui, xi)
     out_i = jnp.einsum("bc,acj->abj", ur, xi) + jnp.einsum("bc,acj->abj", ui, xr)
     return out_r.reshape(-1), out_i.reshape(-1)
+
+
+# ---------------------------------------------------------------------------
+# fused gate chains: k gates per HBM pass
+# ---------------------------------------------------------------------------
+#
+# A single-gate pass is HBM-bound: read+write the whole state per gate. The
+# fused kernel applies a CHAIN of single-qubit gates to each VMEM-resident
+# block before writing it back, so k gates cost ONE pass (k/[2 x state] of
+# the single-gate bandwidth floor).
+#
+# Layout: the state is viewed as (R, C) = (2^(N-c), 2^c). A block is
+# (block_rows, C). A gate on amplitude-bit p (LSB = 0) is block-local iff
+#   - p in [lane_min, c): the branch pair lives within a block row at lane
+#     stride 2^p (lane_min = 7 keeps the minor dim >= 128 lanes), or
+#   - p in [c, c + log2(block_rows)): the pair lives across block rows
+#     (sublane mixing).
+# Gates on other bits need a different layout pass (or the XLA path).
+
+_LANE_MIN_BITS = 7  # minor-most mixing stride >= 128 lanes
+
+
+def fusable_bits(num_qubits: int, c_bits: int = 11, block_rows: int = 256):
+    """Amplitude-bit positions a (c_bits, block_rows) layout can fuse."""
+    hi = min(num_qubits, c_bits + int(np.log2(block_rows)))
+    return tuple(range(_LANE_MIN_BITS, min(c_bits, num_qubits))) + \
+        tuple(range(c_bits, hi))
+
+
+def _fused_chain_kernel(bits, c_bits):
+    """Kernel applying one 2x2 split-real mix per (gate, bit) to the block."""
+
+    def kernel(u_ref, xr_ref, xi_ref, or_ref, oi_ref):
+        br, C = xr_ref.shape
+        xr = xr_ref[:]
+        xi = xi_ref[:]
+        for g, p in enumerate(bits):
+            if p < c_bits:
+                shape = (br, C >> (p + 1), 2, 1 << p)
+                ax = 2
+            else:
+                rp = p - c_bits
+                shape = (br >> (rp + 1), 2, 1 << rp, C)
+                ax = 1
+            xr4 = xr.reshape(shape)
+            xi4 = xi.reshape(shape)
+            sel0 = tuple(slice(None) if i != ax else 0 for i in range(4))
+            sel1 = tuple(slice(None) if i != ax else 1 for i in range(4))
+            xr0, xr1 = xr4[sel0], xr4[sel1]
+            xi0, xi1 = xi4[sel0], xi4[sel1]
+            rows_r, rows_i = [], []
+            for row in range(2):
+                ur0, ur1 = u_ref[g, 0, row, 0], u_ref[g, 0, row, 1]
+                ui0, ui1 = u_ref[g, 1, row, 0], u_ref[g, 1, row, 1]
+                rows_r.append(ur0 * xr0 - ui0 * xi0 + ur1 * xr1 - ui1 * xi1)
+                rows_i.append(ur0 * xi0 + ui0 * xr0 + ur1 * xi1 + ui1 * xr1)
+            xr = jnp.stack(rows_r, axis=ax).reshape(br, C)
+            xi = jnp.stack(rows_i, axis=ax).reshape(br, C)
+        or_ref[:] = xr
+        oi_ref[:] = xi
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("bits", "num_qubits", "c_bits",
+                                   "block_rows", "donate", "interpret"))
+def apply_1q_chain(state_re: jax.Array, state_im: jax.Array, us: jax.Array,
+                   bits: tuple, num_qubits: int, *, c_bits: int = 11,
+                   block_rows: int = 256, donate: bool = False,
+                   interpret: bool = False):
+    """Apply a chain of single-qubit unitaries in ONE pass over the state.
+
+    us: (k, 2, 2) complex stacked gates; bits: length-k tuple of amplitude-bit
+    positions (LSB = 0; qubit q in the big-endian convention of
+    :func:`apply_1q` sits at bit ``num_qubits - q - 1``). Every bit must be
+    in :func:`fusable_bits` for this (c_bits, block_rows) layout.
+    ``donate=True`` aliases outputs onto the input buffers (in-place on HBM)
+    — required for N=30 single-chip states.
+    """
+    N = num_qubits
+    C = 1 << c_bits
+    R = 1 << (N - c_bits)
+    allowed = set(fusable_bits(N, c_bits, block_rows))
+    if not set(bits) <= allowed:
+        raise ValueError(f"bits {sorted(set(bits) - allowed)} not fusable "
+                         f"with c_bits={c_bits}, block_rows={block_rows}")
+    b_r = min(block_rows, R)
+
+    us = jnp.asarray(us)
+    u_split = jnp.stack([us.real, us.imag], axis=1).astype(jnp.float32)
+
+    shape2 = (R, C)
+    xr = state_re.reshape(shape2)
+    xi = state_im.reshape(shape2)
+
+    spec = pl.BlockSpec((b_r, C), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    out_shape = [jax.ShapeDtypeStruct(shape2, jnp.float32)] * 2
+    kwargs = {}
+    if donate:
+        kwargs["input_output_aliases"] = {1: 0, 2: 1}
+    out_re, out_im = pl.pallas_call(
+        _fused_chain_kernel(bits, c_bits),
+        grid=(R // b_r,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), spec, spec],
+        out_specs=[spec, spec],
+        out_shape=out_shape,
+        interpret=interpret,
+        **kwargs,
+    )(u_split, xr, xi)
+    return out_re.reshape(-1), out_im.reshape(-1)

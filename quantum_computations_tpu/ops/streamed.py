@@ -1,31 +1,35 @@
-"""Streamed two-mode contraction + warp + randomized SVD.
+"""Streamed two-mode contraction + transform + randomized SVD.
 
-The two-mode CV gates (BS/CX) act by contracting neighbour tensors into
-A[a, i, j, b] = warp(t1 . t2), then SVD-splitting the (a d, d b) matrix.
-At production bond dimensions the matrix alone is tens of GB — the reference
-materialises it in host RAM (cv gates.py:73-84); HBM cannot.
+Every two-mode CV gate acts by contracting neighbour tensors into
+A[a, i, j, b] = W(t1 . t2) — W a grid transform from the
+:func:`..ops.interp.affine_warp` menu (BS rotation, CX shear, CZ phase,
+SWAP transpose) — then SVD-splitting the (a d, d b) matrix. At production
+bond dimensions the matrix alone is tens of GB — the reference materialises
+it in host RAM (cv gates.py:73-84); HBM cannot.
 
-This module computes the randomized SVD WITHOUT materialising A: the warp is
-a per-(a, b)-slice resampling, so A decomposes into independent row blocks
-over the `a` bond. Every matmul of the Halko sketch (A O, A^H Q, Q^H A)
-streams over row blocks recomputed on the fly inside a `fori_loop` —
-recompute-over-memory, the classic accelerator trade. Peak memory is one row
-block (~0.5 GB) plus the tall-skinny factors.
+This module computes the randomized SVD WITHOUT materialising A: the
+transform acts independently on row blocks over the `a` bond, so every
+matmul of the Halko sketch (A O, A^H Q, Q^H A) streams over row blocks
+recomputed on the fly inside a `fori_loop` — recompute-over-memory, the
+classic accelerator trade. Peak memory is one row block plus the tall-skinny
+factors.
+
+The block transform is gather-free by construction (FFT shears / elementwise
+phases / transposes — see interp.py): the earlier bilinear-gather warp was
+pathologically slow at production grids on this TPU backend and could fault
+the worker.
 """
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..config import PRECISION
-from .interp import _warp_2d_core
+from .interp import affine_warp
 from .linalg import OVERSAMPLE, orthonormalize, svd_compat, truncation_rank_mask
 
-# target row-block footprint (elements of the complex warped block)
+# target row-block footprint (elements of the complex transformed block)
 _BLOCK_ELEMENTS = 1 << 25
 
 
@@ -39,14 +43,15 @@ def _pick_chunk(a: int, d: int, b: int) -> int:
 
 
 def streamed_pair_svd(t1: jax.Array, t2: jax.Array, qs: jax.Array,
-                      x_src: jax.Array, y_src: jax.Array, *,
+                      warp_params: tuple, *,
                       max_bond_dim: int, abs_err: float, rel_err: float,
                       key: jax.Array, power_iters: int = 4):
-    """SVD-split of warp(t1 . t2) viewed as an (a d, d b) matrix.
+    """SVD-split of affine_warp(t1 . t2, warp_params) viewed as an
+    (a d, d b) matrix.
 
     t1: (a, d, k), t2: (k, d, b); returns (m1 (a, d, cap), m2 (cap, d, b),
-    rank) with the same truncation semantics as
-    :func:`..linalg.tensor_svd` (zero-masked static cap = max_bond_dim).
+    rank) with the same truncation semantics as :func:`..linalg.tensor_svd`
+    (zero-masked static cap = max_bond_dim).
     """
     a, d, k = t1.shape
     _, _, b = t2.shape
@@ -58,10 +63,10 @@ def streamed_pair_svd(t1: jax.Array, t2: jax.Array, qs: jax.Array,
     dtype = t1.dtype
 
     def block(ci):
-        """Warped row block: (ac*d, d*b)."""
+        """Transformed row block: (ac*d, d*b)."""
         t1c = jax.lax.dynamic_slice_in_dim(t1, ci * ac, ac, axis=0)
         Tc = jnp.einsum("aik,kjb->aijb", t1c, t2, precision=PRECISION)
-        Wc = _warp_2d_core(qs, Tc, x_src, y_src)
+        Wc = affine_warp(qs, Tc, warp_params).astype(dtype)
         return Wc.reshape(ac * d, cols)
 
     def matmul_A(O):

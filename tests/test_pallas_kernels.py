@@ -61,3 +61,30 @@ def rand_u4():
     a = rng.normal(size=(4, 4)) + 1j * rng.normal(size=(4, 4))
     q, _ = np.linalg.qr(a)
     return q
+
+
+def test_apply_1q_chain_matches_sequential_xla():
+    """k gates fused into one pass == k sequential single-gate passes."""
+    N = 14
+    bits = pk.fusable_bits(N, c_bits=11, block_rows=4)
+    assert bits == (7, 8, 9, 10, 11, 12)
+    us = np.stack([rand_u() for _ in bits])
+    sr = jnp.asarray(rng.normal(size=1 << N), jnp.float32)
+    si = jnp.asarray(rng.normal(size=1 << N), jnp.float32)
+
+    got_r, got_i = pk.apply_1q_chain(sr, si, jnp.asarray(us), bits, N,
+                                     c_bits=11, block_rows=4, interpret=True)
+    rr, ri = sr, si
+    for u, p in zip(us, bits):
+        rr, ri = pk.apply_1q_xla(rr, ri, u, N - p - 1, N)
+    np.testing.assert_allclose(np.asarray(got_r), np.asarray(rr), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_i), np.asarray(ri), atol=1e-4)
+
+
+def test_apply_1q_chain_rejects_unfusable_bits():
+    N = 14
+    us = jnp.asarray(np.stack([rand_u()]))
+    sr = jnp.zeros(1 << N, jnp.float32)
+    with pytest.raises(ValueError):
+        pk.apply_1q_chain(sr, sr, us, (0,), N, c_bits=11, block_rows=4,
+                          interpret=True)

@@ -1,4 +1,4 @@
-"""Streamed pair-SVD vs the materialised warp+SVD path."""
+"""Streamed pair-SVD vs the materialised transform+SVD path."""
 
 import pytest
 import numpy as np
@@ -6,7 +6,6 @@ import jax
 import jax.numpy as jnp
 
 from quantum_computations_tpu.ops import interp
-from quantum_computations_tpu.ops.linalg import tensor_svd
 from quantum_computations_tpu.ops.streamed import streamed_pair_svd
 
 rng = np.random.default_rng(0)
@@ -18,23 +17,25 @@ def _pair(a=4, d=64, k=3, b=2):
     return jnp.asarray(t1), jnp.asarray(t2)
 
 
-def test_streamed_matches_materialised():
+@pytest.mark.parametrize("warp_params", [
+    ("rot", 0.7), ("shear", 1.0, True), ("cz", 1.0), ("swap",), ("id",),
+])
+def test_streamed_matches_materialised(warp_params):
     t1, t2 = _pair()
     qs = jnp.linspace(-5, 5, 64)
-    x_src, y_src = interp.rotation_maps(qs, 0.7)
     mbd, rel = 8, 1e-3
 
     m1s, m2s, rank_s = streamed_pair_svd(
-        t1, t2, qs, x_src, y_src, max_bond_dim=mbd, abs_err=0.0, rel_err=rel,
+        t1, t2, qs, warp_params, max_bond_dim=mbd, abs_err=0.0, rel_err=rel,
         key=jax.random.PRNGKey(0), power_iters=7,
     )
-    # materialised reference result
+    # materialised reference result through the same transform
     res = jnp.tensordot(t1, t2, axes=(2, 0))
-    res = interp.warp_2d(qs, res, x_src, y_src)
+    res = interp.affine_warp(qs, res, warp_params)
     full = np.einsum("abj,jcd->abcd", *map(np.asarray, (m1s, m2s)))
 
-    # reconstruction error of the streamed split vs the true warped tensor
-    # bounded by the dropped singular mass of an exact SVD
+    # reconstruction error of the streamed split vs the true transformed
+    # tensor bounded by the dropped singular mass of an exact SVD
     m = np.asarray(res).reshape(4 * 64, 64 * 2)
     s_exact = np.linalg.svd(m, compute_uv=False)
     dropped = s_exact[int(rank_s):].sum()
@@ -47,28 +48,57 @@ def test_streamed_matches_materialised():
     np.testing.assert_allclose(kept**2, s_exact[: int(rank_s)], rtol=1e-2)
 
 
+def test_fft_warp_matches_gather_warp():
+    """The FFT shears agree with the bilinear gather on smooth interior data
+    to bilinear's own O(dq^2) accuracy."""
+    qs = jnp.linspace(-12, 12, 240)
+    X, Y = jnp.meshgrid(qs, qs, indexing="ij")
+    f = (jnp.exp(-((X - 1.0) ** 2 + (Y + 0.5) ** 2) / 2)
+         * jnp.exp(1j * (0.7 * X - 0.3 * Y)))
+    T = f[None, :, :, None]
+    sl = slice(20, -20)
+
+    for theta in (np.pi / 4, -0.3):
+        xs, ys = interp.rotation_maps(qs, theta)
+        ref = interp.warp_2d(qs, T, xs, ys)[0, sl, sl, 0]
+        got = interp.rotate_fft(qs, T, theta)[0, sl, sl, 0]
+        assert float(jnp.abs(ref - got).max()) < 5e-3
+
+    for gain, cl in ((1.0, True), (1.0, False)):
+        xs, ys = interp.shear_maps(qs, gain, cl)
+        ref = interp.warp_2d(qs, T, xs, ys)[0, sl, sl, 0]
+        got = interp.affine_warp(qs, T, ("shear", gain, cl))[0, sl, sl, 0]
+        assert float(jnp.abs(ref - got).max()) < 5e-3
+
+
+def _physical_pair(qs):
+    g = np.exp(-np.asarray(qs) ** 2 / 2)
+    modes = np.stack([g, 0.3 * g * qs, 0.05 * g * (qs ** 2 - 1)], axis=0)
+    t1 = (modes.T[None, :, :] * (1 + 0.1j)).astype(complex)   # (1, d, 3)
+    t2 = (modes[:, :, None] * (1 - 0.05j)).astype(complex)    # (3, d, 1)
+    return t1, t2
+
+
 @pytest.mark.slow
-def test_streamed_in_bs_gate_big_threshold():
-    """Force the streamed path through the BS gate by lowering the threshold."""
+@pytest.mark.parametrize("gate_cls", ["BS", "CX", "CZ", "SWAP"])
+def test_streamed_in_two_mode_gates_big_threshold(gate_cls):
+    """Force the streamed path through every two-mode gate by lowering the
+    threshold; results must match the materialised path."""
     import quantum_computations_tpu.cv.gates as cvg
     from quantum_computations_tpu.cv.mps import MPS
     from quantum_computations_tpu.config import SVDOptions
 
     qs = np.linspace(-8, 8, 80)
-    # decaying-spectrum (physical-like) input so truncation is well defined:
-    # bond components are increasingly suppressed oscillating gaussians
-    g = np.exp(-qs**2 / 2)
-    modes = np.stack([g, 0.3 * g * qs, 0.05 * g * (qs**2 - 1)], axis=0)
-    t1 = (modes.T[None, :, :] * (1 + 0.1j)).astype(complex)          # (1, 80, 3)
-    t2 = (modes[:, :, None] * (1 - 0.05j)).astype(complex)           # (3, 80, 1)
+    t1, t2 = _physical_pair(qs)
 
     def run(threshold):
         old = cvg._STREAM_THRESHOLD
         cvg._STREAM_THRESHOLD = threshold
         try:
             mps = MPS(qs, [jnp.asarray(t1), jnp.asarray(t2)])
-            cvg.BS(0, 1).apply(mps, key=jax.random.PRNGKey(5),
-                               svd_options=SVDOptions(max_bond_dim=6, rel_err=1e-4))
+            gate = getattr(cvg, gate_cls)(0, 1)
+            gate.apply(mps, key=jax.random.PRNGKey(5),
+                       svd_options=SVDOptions(max_bond_dim=6, rel_err=1e-4))
             res = jnp.tensordot(mps[0], mps[1], axes=(2, 0))
             return np.asarray(res)
         finally:
