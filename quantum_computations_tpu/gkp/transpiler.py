@@ -1,10 +1,21 @@
 """DV → measurement-based GKP transpiler.
 
-Parity with reference ``simulators/gkp_simulator/transpiler.py``: the
-implementable gate set (:10-11), state transpilation (:13-39), gate→gadget
-mapping with dagger folding (:41-63), greedy layered scheduling (:65-112) and
-``MBGKPCircuit`` with auto-inserted classically-controlled P/Pdg corrections
-after T/Tdg (:135-209). Host-side Python — circuit structure is static.
+Capability parity with reference ``simulators/gkp_simulator/transpiler.py``:
+the implementable gate set (:10-11), state transpilation (:13-39),
+gate→gadget mapping with dagger folding (:41-63), layered scheduling
+(:65-112) and ``MBGKPCircuit`` with auto-inserted classically-controlled
+P/Pdg corrections after T/Tdg (:135-209).
+
+Scheduling design: the reference finds a gate's layer by scanning layers
+backwards for the last occupied slot (transpiler.py:181-195); here each
+qubit carries a ``next free layer`` counter and gates are placed ASAP at
+``max(next_free[operands])`` — the same schedule (both are the canonical
+as-soon-as-possible layering), O(1) per gate instead of O(depth). Layer
+placement is load-bearing: the GKP engine's classically-controlled
+T-corrections read syndromes from exactly two layers back
+(gkp simulator.py:121-126), so the schedule must match the reference's.
+
+Host-side Python — circuit structure is static at trace time.
 """
 
 from __future__ import annotations
@@ -27,6 +38,37 @@ IMPLEMENTABLES = (
 )
 PAULIS = (dv_gates.I, dv_gates.X, dv_gates.Y, dv_gates.Z)
 
+_STATE_MAP = {
+    DVState.ZERO: CVState.GKP_ZERO,
+    DVState.ONE: CVState.GKP_ONE,
+    DVState.PLUS: CVState.GKP_PLUS,
+    DVState.MINUS: CVState.GKP_MINUS,
+    DVState.T: CVState.GKP_T,
+    DVState.TDG: CVState.GKP_TDG,
+    DVState.H: CVState.GKP_H,
+}
+
+_GADGET_MAP = {
+    dv_gates.I: MBI,
+    dv_gates.H: MBF,
+    dv_gates.P: MBP,
+    dv_gates.Pdg: MBP,
+    dv_gates.T: MBT,
+    dv_gates.Tdg: MBT,
+    dv_gates.CZ: MBCZ,
+    dv_gates.SWAP: MBSWAP,
+}
+
+_PAULI_FRAME = {
+    dv_gates.X: (1, 0),
+    dv_gates.Y: (1, 1),
+    dv_gates.Z: (0, 1),
+}
+
+
+def state_transpile(state: DVState) -> CVState:
+    return _STATE_MAP[state]
+
 
 def parse_to_mps(state, epsilon: float, qs: np.ndarray) -> MPS:
     if state is None:
@@ -38,37 +80,18 @@ def parse_to_mps(state, epsilon: float, qs: np.ndarray) -> MPS:
     raise TypeError("Unsupported input type")
 
 
-def state_transpile(state: DVState) -> CVState:
-    return {
-        DVState.ZERO: CVState.GKP_ZERO,
-        DVState.ONE: CVState.GKP_ONE,
-        DVState.PLUS: CVState.GKP_PLUS,
-        DVState.MINUS: CVState.GKP_MINUS,
-        DVState.T: CVState.GKP_T,
-        DVState.TDG: CVState.GKP_TDG,
-        DVState.H: CVState.GKP_H,
-    }[state]
-
-
 def gate_transpile(gate: DVGate, **kwargs) -> MeasurementBased:
+    """DV gate → MB gadget; Pdg/Tdg fold into the dagger flag."""
     dagger = (type(gate) in (dv_gates.Pdg, dv_gates.Tdg)) ^ kwargs.pop("dagger", False)
-    mapping = {
-        dv_gates.I: MBI,
-        dv_gates.H: MBF,
-        dv_gates.P: MBP,
-        dv_gates.Pdg: MBP,
-        dv_gates.T: MBT,
-        dv_gates.Tdg: MBT,
-        dv_gates.CZ: MBCZ,
-        dv_gates.SWAP: MBSWAP,
-    }
-    gate_type = mapping.get(type(gate))
-    if gate_type is None:
+    gadget = _GADGET_MAP.get(type(gate))
+    if gadget is None:
         raise ValueError(f"Gate {gate} not implementable in MB GKP circuits.")
-    return gate_type(*gate.indices, dagger=dagger, **kwargs)
+    return gadget(*gate.indices, dagger=dagger, **kwargs)
 
 
 class Layer:
+    """One depth slice: scheduled gates + the layer's virtual Pauli frame."""
+
     def __init__(self, N: int):
         self._N = N
         self._occupied = [False] * N
@@ -81,28 +104,28 @@ class Layer:
         result.paulis = self.paulis.copy()
         return result
 
-    def fill(self):
-        """Add identity (= EC) gates to all untouched qubits."""
-        for i in range(self._N):
-            if not self.get_gate(i):
-                self._insert_gate(dv_gates.I(i))
-
     def get_gate(self, index: int):
         for gate in self.gates:
             if index in gate.indices:
                 return gate
         return None
 
-    def occupied(self, indices: list[int]) -> bool:
+    def occupied(self, indices) -> bool:
         return any(self._occupied[i] or self.paulis[i] != [0, 0] for i in indices)
+
+    def fill(self):
+        """Schedule identity (= error-correction) gadgets on idle qubits."""
+        for i in range(self._N):
+            if not self.get_gate(i):
+                self._insert(dv_gates.I(i))
 
     def add_gate(self, gate) -> bool:
         if self.occupied(gate.indices):
             return False
-        self._insert_gate(gate)
+        self._insert(gate)
         return True
 
-    def _insert_gate(self, gate):
+    def _insert(self, gate):
         for i in gate.indices:
             self._occupied[i] = True
         insort(self.gates, gate, key=lambda g: min(g.indices))
@@ -118,21 +141,28 @@ class MBGKPCircuit:
     def __init__(self, N: int):
         self._N = N
         self._layers: list[Layer] = [Layer(N)]
+        # ASAP scheduler state: first layer index with a free slot per qubit.
+        self._next_free = [0] * N
+
+    # -- inspection -----------------------------------------------------------
+    def depth(self) -> int:
+        return len(self._layers)
+
+    def count(self) -> int:
+        return sum(len(layer.gates) for layer in self._layers)
 
     def to_string(self) -> str:
-        result = ""
-        for row_num in range(self._N):
-            row = ""
+        rows = []
+        for q in range(self._N):
+            cells = []
             for layer in self._layers:
-                gate = layer.get_gate(row_num)
-                if isinstance(gate, ClassicalControl):
-                    row += (f"'{gate.gate}'").ljust(8)
-                else:
-                    row += str(gate).ljust(8)
-                row += " " + str(layer.paulis[row_num]) + " | "
-            result += row[:-3] + "\n"
-        return result[:-1]
+                gate = layer.get_gate(q)
+                label = f"'{gate.gate}'" if isinstance(gate, ClassicalControl) else str(gate)
+                cells.append(label.ljust(8) + " " + str(layer.paulis[q]))
+            rows.append(" | ".join(cells))
+        return "\n".join(rows)
 
+    # -- construction ----------------------------------------------------------
     @staticmethod
     def transpile(gates: list[DVGate], N: int | None = None) -> "MBGKPCircuit":
         if N is None:
@@ -142,17 +172,12 @@ class MBGKPCircuit:
             circ.add_gate(gate)
         return circ
 
-    def depth(self) -> int:
-        return len(self._layers)
-
-    def count(self) -> int:
-        return sum(len(layer.gates) for layer in self._layers)
-
     def fill(self):
         for layer in self._layers:
             layer.fill()
+        self._next_free = [len(self._layers)] * self._N
 
-    def add_gate(self, gate: DVGate):
+    def _validate(self, gate):
         if any(i < 0 or i >= self._N for i in gate.indices):
             raise ValueError(f"Cannot add {gate} to MBGKPCircuit with {self._N} qubits.")
         if len(gate.indices) > 2:
@@ -164,43 +189,36 @@ class MBGKPCircuit:
                 f"Only nearest neighbour interactions available, but gate {gate} was given."
             )
 
+    def add_gate(self, gate: DVGate):
+        self._validate(gate)
         if type(gate) in PAULIS and not isinstance(gate, dv_gates.I):
-            self._add_pauli(gate)
+            self._schedule_pauli(gate)
         elif type(gate) in IMPLEMENTABLES:
-            self._add_gate(gate)
+            self._schedule(gate)
             # The MB T-teleportation needs a classically-controlled P
-            # correction scheduled for the next layer (read two layers back
-            # at run time; reference transpiler.py:165-168).
+            # correction in the next layer (the engine reads the X syndrome
+            # two layers back at run time; reference transpiler.py:165-168).
             if isinstance(gate, dv_gates.T):
-                self._add_gate(ClassicalControl(dv_gates.P(gate.indices[0]), [-self._N]))
+                self._schedule(ClassicalControl(dv_gates.P(gate.indices[0]), [-self._N]))
             elif isinstance(gate, dv_gates.Tdg):
-                self._add_gate(ClassicalControl(dv_gates.Pdg(gate.indices[0]), [-self._N]))
+                self._schedule(ClassicalControl(dv_gates.Pdg(gate.indices[0]), [-self._N]))
         else:
             raise ValueError(f"Gate {gate} not implementable in MB GKP circuits.")
 
-    def _first_occupied(self, indices: list[int]):
-        for i in range(len(self._layers)):
-            index = -(i + 1)
-            if self._layers[index].occupied(indices):
-                return index
-        return None
-
-    def _add_gate(self, gate):
-        index = self._first_occupied(gate.indices)
-        if index is None:
-            index = -1
-        elif index == -1:
+    def _schedule(self, gate):
+        """ASAP: the earliest layer where every operand slot is free."""
+        layer_idx = max(self._next_free[i] for i in gate.indices)
+        while layer_idx >= len(self._layers):
             self._layers.append(Layer(self._N))
-            index = -2
-        self._layers[index + 1].add_gate(gate)
+        self._layers[layer_idx].add_gate(gate)
+        for i in gate.indices:
+            self._next_free[i] = layer_idx + 1
 
-    def _add_pauli(self, gate: DVGate):
-        pauli = {
-            dv_gates.X: [1, 0],
-            dv_gates.Y: [1, 1],
-            dv_gates.Z: [0, 1],
-        }[type(gate)]
-        index = self._first_occupied(gate.indices)
-        if index is None:
-            index = 0
-        self._layers[index].add_pauli(gate.indices[0], pauli)
+    def _schedule_pauli(self, gate: DVGate):
+        """Paulis fold into the frame of the operand's LAST occupied layer
+        (or the first layer if untouched); the slot then counts as occupied
+        for later gates on that qubit (reference transpiler.py:195-206)."""
+        q = gate.indices[0]
+        layer_idx = max(self._next_free[q] - 1, 0)
+        self._layers[layer_idx].add_pauli(q, _PAULI_FRAME[type(gate)])
+        self._next_free[q] = layer_idx + 1

@@ -33,13 +33,21 @@ from .linalg import OVERSAMPLE, orthonormalize, svd_compat, truncation_rank_mask
 _BLOCK_ELEMENTS = 1 << 25
 
 
-def _pick_chunk(a: int, d: int, b: int) -> int:
-    """Largest divisor `ac` of `a` with ac*d*d*b <= _BLOCK_ELEMENTS."""
-    best = 1
-    for ac in range(1, a + 1):
-        if a % ac == 0 and ac * d * d * b <= _BLOCK_ELEMENTS:
-            best = ac
-    return best
+def _divisors_desc(n: int):
+    return [x for x in range(n, 0, -1) if n % x == 0]
+
+
+def _pick_chunks(a: int, d: int, b: int) -> tuple[int, int]:
+    """(ac, bc): divisors of a and b with ac*d*d*bc <= _BLOCK_ELEMENTS.
+
+    The grid axes can never be chunked (the FFT shears need them whole), but
+    both bond axes can: the a-bond splits the matrix rows, the b-bond splits
+    (strided) columns. Prefer keeping b whole, then shrink it."""
+    for bc in _divisors_desc(b):
+        for ac in _divisors_desc(a):
+            if ac * d * d * bc <= _BLOCK_ELEMENTS:
+                return ac, bc
+    return 1, 1
 
 
 def streamed_pair_svd(t1: jax.Array, t2: jax.Array, qs: jax.Array,
@@ -58,32 +66,52 @@ def streamed_pair_svd(t1: jax.Array, t2: jax.Array, qs: jax.Array,
     rows, cols = a * d, d * b
     cap = min(max_bond_dim, rows, cols)
     l = min(cap + OVERSAMPLE, rows, cols)
-    ac = _pick_chunk(a, d, b)
-    n_chunks = a // ac
+    ac, bc = _pick_chunks(a, d, b)
+    n_a, n_b = a // ac, b // bc
     dtype = t1.dtype
 
-    def block(ci):
-        """Transformed row block: (ac*d, d*b)."""
-        t1c = jax.lax.dynamic_slice_in_dim(t1, ci * ac, ac, axis=0)
-        Tc = jnp.einsum("aik,kjb->aijb", t1c, t2, precision=PRECISION)
-        Wc = affine_warp(qs, Tc, warp_params).astype(dtype)
-        return Wc.reshape(ac * d, cols)
+    def block(ci, bi):
+        """Transformed (row, col) block: (ac*d, d*bc).
 
+        Grid axes stay whole (the FFT shears act along them); both bond axes
+        chunk. The transform commutes with bond slicing — it acts per
+        (a, b) index on the grid plane."""
+        t1c = jax.lax.dynamic_slice_in_dim(t1, ci * ac, ac, axis=0)
+        t2c = jax.lax.dynamic_slice_in_dim(t2, bi * bc, bc, axis=2)
+        Tc = jnp.einsum("aik,kjb->aijb", t1c, t2c, precision=PRECISION)
+        Wc = affine_warp(qs, Tc, warp_params).astype(dtype)
+        return Wc.reshape(ac * d, d * bc)
+
+    # Column index layout: cols = (grid j, bond b), j-major — a b-chunk is a
+    # strided column set, resolved by viewing (cols, l) factors as (d, b, l).
     def matmul_A(O):
-        """A @ O, streamed over row blocks. O: (cols, l) -> (rows, l)."""
-        def body(ci, Y):
+        """A @ O, streamed over (row, col) blocks. O: (cols, l) -> (rows, l)."""
+        O3 = O.reshape(d, b, O.shape[1])
+
+        def body(idx, Y):
+            ci, bi = idx // n_b, idx % n_b
+            Oc = jax.lax.dynamic_slice_in_dim(O3, bi * bc, bc, axis=1)
+            Yc = block(ci, bi) @ Oc.reshape(d * bc, -1)
+            cur = jax.lax.dynamic_slice_in_dim(Y, ci * ac * d, ac * d, axis=0)
             return jax.lax.dynamic_update_slice_in_dim(
-                Y, block(ci) @ O, ci * ac * d, axis=0)
-        return jax.lax.fori_loop(0, n_chunks, body,
+                Y, cur + Yc, ci * ac * d, axis=0)
+
+        return jax.lax.fori_loop(0, n_a * n_b, body,
                                  jnp.zeros((rows, O.shape[1]), dtype))
 
     def matmul_AH(Q):
         """A^H @ Q, streamed. Q: (rows, l) -> (cols, l)."""
-        def body(ci, Z):
+        def body(idx, Z3):
+            ci, bi = idx // n_b, idx % n_b
             Qc = jax.lax.dynamic_slice_in_dim(Q, ci * ac * d, ac * d, axis=0)
-            return Z + block(ci).T.conj() @ Qc
-        return jax.lax.fori_loop(0, n_chunks, body,
-                                 jnp.zeros((cols, Q.shape[1]), dtype))
+            Zc = (block(ci, bi).T.conj() @ Qc).reshape(d, bc, -1)
+            cur = jax.lax.dynamic_slice_in_dim(Z3, bi * bc, bc, axis=1)
+            return jax.lax.dynamic_update_slice_in_dim(
+                Z3, cur + Zc, bi * bc, axis=1)
+
+        Z3 = jax.lax.fori_loop(0, n_a * n_b, body,
+                               jnp.zeros((d, b, Q.shape[1]), dtype))
+        return Z3.reshape(cols, Q.shape[1])
 
     # Halko sketch with CholeskyQR2 orthonormalization (matmuls only).
     O = jax.random.normal(key, (cols, l), dtype=t1.real.dtype).astype(dtype)

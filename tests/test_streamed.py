@@ -107,3 +107,24 @@ def test_streamed_in_two_mode_gates_big_threshold(gate_cls):
     big = run(1 << 40)   # materialised
     small = run(1)       # streamed
     assert np.abs(big - small).max() < 2e-2 * np.abs(big).max()
+
+
+def test_streamed_multi_chunk_both_axes(monkeypatch):
+    """Tiny block budget forces chunking along BOTH bond axes."""
+    import quantum_computations_tpu.ops.streamed as st
+    monkeypatch.setattr(st, "_BLOCK_ELEMENTS", 1 * 64 * 64 * 1)
+    t1, t2 = _pair(a=4, d=64, k=3, b=2)
+    qs = jnp.linspace(-5, 5, 64)
+    # budget of one (1, d, d, 1) block: both bonds must chunk fully
+    assert st._pick_chunks(4, 64, 2) == (1, 1)
+    m1, m2, rank = st.streamed_pair_svd(
+        t1, t2, qs, ("rot", 0.7), max_bond_dim=8, abs_err=0.0, rel_err=1e-3,
+        key=jax.random.PRNGKey(0), power_iters=7,
+    )
+    res = interp.affine_warp(qs, jnp.tensordot(t1, t2, axes=(2, 0)), ("rot", 0.7))
+    full = np.einsum("abj,jcd->abcd", np.asarray(m1), np.asarray(m2))
+    m = np.asarray(res).reshape(4 * 64, 64 * 2)
+    s_exact = np.linalg.svd(m, compute_uv=False)
+    dropped = s_exact[int(rank):].sum()
+    err = np.linalg.norm(full.reshape(m.shape) - m, ord="fro")
+    assert err <= dropped * 1.5 + 1e-6, (err, dropped)
