@@ -4,7 +4,7 @@ import numpy as np
 
 from quantum_computations_tpu.gkp.batched import BatchedGKP
 from quantum_computations_tpu.ops.linalg import bucket
-from quantum_computations_tpu.ops.streamed import _pick_chunk
+from quantum_computations_tpu.ops.streamed import _pick_chunks
 
 
 def test_pow2_bucket():
@@ -19,10 +19,12 @@ def test_trim_bucket_fine_grained():
     assert tb(48) == 48 and tb(49) == 64 and tb(100) == 112
 
 
-def test_pick_chunk_divides_and_fits():
+def test_pick_chunks_divide_and_fit():
     a, d, b = 48, 1000, 32
-    ac = _pick_chunk(a, d, b)
-    assert a % ac == 0
-    assert ac * d * d * b <= (1 << 25)
+    ac, bc = _pick_chunks(a, d, b)
+    assert a % ac == 0 and b % bc == 0
+    assert ac * d * d * bc <= (1 << 25)
+    # the b bond is kept whole in preference to a
+    assert bc == b
     # small tensors are unchunked
-    assert _pick_chunk(2, 64, 2) == 2
+    assert _pick_chunks(2, 64, 2) == (2, 2)
