@@ -123,7 +123,33 @@ def _hermitian_inv_sqrt(G: jax.Array, eps_rel: float = 1e-12) -> jax.Array:
     return (V * inv_sqrt_w[None, :]) @ V.T.conj()
 
 
-def orthonormalize(Y: jax.Array) -> jax.Array:
+def _ns_inv_sqrt(G: jax.Array, iters: int = 24, ridge: float = 1e-7) -> jax.Array:
+    """G^{-1/2} for a small Hermitian PSD matrix by the coupled Newton–Schulz
+    iteration — matmuls only, NO eigh.
+
+    On the remote-compiled TPU backend a (realified) eigh instance costs
+    ~500 s of XLA compile time; inside the streamed two-mode-gate programs
+    that dominates the compile budget. NS trades it for ``iters`` tiny
+    matmuls: normalise A = G/tr(G) (+ridge) so the spectrum is in (0, 1],
+    then Y_{k+1} = Y_k (3I - Z_k Y_k)/2, Z_{k+1} = (3I - Z_k Y_k) Z_k / 2
+    converges with Z -> A^{-1/2}.
+    """
+    n = G.shape[0]
+    eye = jnp.eye(n, dtype=G.dtype)
+    t = jnp.trace(G).real.astype(G.real.dtype) + jnp.asarray(1e-30, G.real.dtype)
+    A = G / t + ridge * eye
+    Y, Z = A, eye
+
+    def body(_, YZ):
+        Y, Z = YZ
+        T = 1.5 * eye - 0.5 * (Z @ Y)
+        return Y @ T, T @ Z
+
+    Y, Z = jax.lax.fori_loop(0, iters, body, (Y, Z))
+    return Z / jnp.sqrt(t)
+
+
+def orthonormalize(Y: jax.Array, *, method: str = "eigh") -> jax.Array:
     """Tall-skinny orthonormalization: Gram inverse-sqrt + Newton–Schulz polish.
 
     Q0 = Y (Y^H Y)^{-1/2} handles the bulk (one small eigh + matmuls, no QR
@@ -132,9 +158,20 @@ def orthonormalize(Y: jax.Array) -> jax.Array:
     The polish step Q = Q0 (3I - Q0^H Q0)/2 converges quadratically and,
     unlike a second inverse-sqrt pass, has no eigenvector-degeneracy issue on
     the near-identity Gram it receives.
+
+    method="ns" replaces the Gram eigh with the matmul-only Newton–Schulz
+    inverse sqrt (:func:`_ns_inv_sqrt`) — same double-pass structure, far
+    cheaper to compile on the remote TPU backend; accuracy is bounded by the
+    polish pass exactly as for eigh.
     """
-    G = Y.T.conj() @ Y
-    Q = Y @ _hermitian_inv_sqrt(G)
+    if method == "ns":
+        # Two full NS inverse-sqrt passes (each pass reduces the condition
+        # number roughly quadratically), then the polish.
+        Q = Y
+        for _ in range(2):
+            Q = Q @ _ns_inv_sqrt(Q.T.conj() @ Q)
+    else:
+        Q = Y @ _hermitian_inv_sqrt(Y.T.conj() @ Y)
     G2 = Q.T.conj() @ Q
     eye = jnp.eye(G2.shape[0], dtype=G2.dtype)
     return Q @ (1.5 * eye - 0.5 * G2)

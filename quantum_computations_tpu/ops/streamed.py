@@ -84,10 +84,8 @@ def streamed_pair_svd(t1: jax.Array, t2: jax.Array, qs: jax.Array,
 
     # Column index layout: cols = (grid j, bond b), j-major — a b-chunk is a
     # strided column set, resolved by viewing (cols, l) factors as (d, b, l).
-    def matmul_A(O):
-        """A @ O, streamed over (row, col) blocks. O: (cols, l) -> (rows, l)."""
-        O3 = O.reshape(d, b, O.shape[1])
-
+    def matmul_A(O3):
+        """A @ O, streamed over (row, col) blocks. O3: (d, b, l) -> (rows, l)."""
         def body(idx, Y):
             ci, bi = idx // n_b, idx % n_b
             Oc = jax.lax.dynamic_slice_in_dim(O3, bi * bc, bc, axis=1)
@@ -97,10 +95,10 @@ def streamed_pair_svd(t1: jax.Array, t2: jax.Array, qs: jax.Array,
                 Y, cur + Yc, ci * ac * d, axis=0)
 
         return jax.lax.fori_loop(0, n_a * n_b, body,
-                                 jnp.zeros((rows, O.shape[1]), dtype))
+                                 jnp.zeros((rows, O3.shape[2]), dtype))
 
     def matmul_AH(Q):
-        """A^H @ Q, streamed. Q: (rows, l) -> (cols, l)."""
+        """A^H @ Q, streamed. Q: (rows, l) -> (d, b, l)."""
         def body(idx, Z3):
             ci, bi = idx // n_b, idx % n_b
             Qc = jax.lax.dynamic_slice_in_dim(Q, ci * ac * d, ac * d, axis=0)
@@ -109,21 +107,31 @@ def streamed_pair_svd(t1: jax.Array, t2: jax.Array, qs: jax.Array,
             return jax.lax.dynamic_update_slice_in_dim(
                 Z3, cur + Zc, bi * bc, axis=1)
 
-        Z3 = jax.lax.fori_loop(0, n_a * n_b, body,
-                               jnp.zeros((d, b, Q.shape[1]), dtype))
-        return Z3.reshape(cols, Q.shape[1])
+        return jax.lax.fori_loop(0, n_a * n_b, body,
+                                 jnp.zeros((d, b, Q.shape[1]), dtype))
 
-    # Halko sketch with CholeskyQR2 orthonormalization (matmuls only).
-    O = jax.random.normal(key, (cols, l), dtype=t1.real.dtype).astype(dtype)
-    Q = orthonormalize(matmul_A(O))
+    # Randomized subspace iteration, restructured so ONE loop body holds one
+    # A-sweep and one A^H-sweep (the remote XLA compile cost scales with the
+    # number of distinct block-loop bodies, and each block inlines the full
+    # contraction+transform chain — the classic Halko layout with separate
+    # init/final sweeps compiles 4-5 bodies and blows the compile budget):
+    #   X_0 = Omega;  Q_t = orth(A orth(X_t));  X_{t+1} = A^H Q_t
+    # After q+1 rounds Q spans range((A A^H)^q A Omega) — the standard
+    # power-iteration accuracy — and B = Q^H A = X_final^H falls out of the
+    # carry with no extra sweep. Orthonormalizing a COPY of X before the
+    # A-sweep preserves B (range(A X R^-1) == range(A X)).
+    X0 = jax.random.normal(key, (d, b, l), dtype=t1.real.dtype).astype(dtype)
+    Q0 = jnp.zeros((rows, l), dtype)
 
-    def power_body(_, Q):
-        Q1 = orthonormalize(matmul_AH(Q))
-        return orthonormalize(matmul_A(Q1))
+    def round_body(_, carry):
+        X, _ = carry
+        Xo = orthonormalize(X.reshape(cols, l), method="ns").reshape(d, b, l)
+        Q = orthonormalize(matmul_A(Xo), method="ns")
+        return matmul_AH(Q), Q
 
-    Q = jax.lax.fori_loop(0, power_iters, power_body, Q)
+    X, Q = jax.lax.fori_loop(0, power_iters + 1, round_body, (X0, Q0))
 
-    B = matmul_AH(Q).T.conj()  # (l, cols) = Q^H A
+    B = X.reshape(cols, l).T.conj()  # (l, cols) = Q^H A
     U_b, s, Vh = svd_compat(B, full_matrices=False)
     U_b, s, Vh = U_b[:, :cap], s[:cap], Vh[:cap, :]
 
