@@ -83,11 +83,11 @@ def _pair_transform_split(mps, left_index, right_index, warp_params, opts, key):
     b = t2.shape[-1]
     qs = jnp.asarray(mps.domain)
     if a * d * d * b > _STREAM_THRESHOLD and opts.max_bond_dim is not None:
-        from ..ops.streamed import streamed_pair_svd
+        from ..ops.streamed import effective_power_iters, streamed_pair_svd
 
         cap = min(opts.max_bond_dim, a * d, d * b)
         # reference power-iteration heuristic (mps.py:29)
-        q = 7 if cap + 10 < 0.1 * min(a * d, d * b) else 4
+        q = effective_power_iters(7 if cap + 10 < 0.1 * min(a * d, d * b) else 4)
         m1, m2, rank = streamed_pair_svd(
             t1, t2, qs, warp_params,
             max_bond_dim=opts.max_bond_dim, abs_err=opts.abs_err,

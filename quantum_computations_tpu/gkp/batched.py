@@ -120,6 +120,29 @@ class BatchedGKP:
         return self._maybe_trim(list(out))
 
     def _op_bs(self, tensors, i, j, keys):
+        li, ri = (i, j) if i < j else (j, i)
+        t1, t2 = tensors[li], tensors[ri]
+        _, a, d, _ = t1.shape
+        b = t2.shape[-1]
+        if (a * d * d * b > cvg._STREAM_THRESHOLD
+                and self.opts.max_bond_dim is not None):
+            # Oversize contraction: stream the contraction+rotation+SVD from
+            # host-driven split programs (cv gates `_pair_transform_split`'s
+            # streamed branch, batched). Angle sign follows cvg.BS.apply.
+            from ..ops.streamed import effective_power_iters, streamed_pair_svd_batched
+
+            angle = float(jnp.pi / 4) * (-1) ** (i > j)
+            cap = min(self.opts.max_bond_dim, a * d, d * b)
+            q = effective_power_iters(7 if cap + 10 < 0.1 * min(a * d, d * b) else 4)
+            m1, m2, _rank = streamed_pair_svd_batched(
+                t1, t2, self.qs, ("rot", angle),
+                max_bond_dim=self.opts.max_bond_dim,
+                abs_err=self.opts.abs_err, rel_err=self.opts.rel_err,
+                keys=keys, power_iters=q,
+            )
+            out = list(tensors)
+            out[li], out[ri] = m1, m2
+            return self._maybe_trim(out)
         sig = ("op_bs", i, j, self._shapes(tensors))
 
         def body(tt, key):

@@ -1,0 +1,108 @@
+"""Randomised benchmarking at PRODUCTION parameters on the accelerator.
+
+Drives the rank-adaptive op-granularity :class:`..gkp.batched.BatchedGKP`
+engine — the configuration that runs chi=100 / grid-1000 circuits on a
+single chip: per-op executors with true-rank trimming between ops, and
+oversize two-mode contractions (the SWAP/CZ macronode beam splitters)
+streamed through the host-driven CZ-kernel randomized SVD
+(:mod:`..ops.streamed`).
+
+Reference parity: same sweep structure and output schema as
+``impact_.../randomised_benchmarking.py`` (:52-76, ``gkp_rb.dat`` rows of
+{db, depth, fidelity, purity}); the per-sample scoring follows
+:mod:`.rb.sample_depth` (fidelity <psi|rho|psi> against the exact DV state,
+purity tr(rho^2)) with trajectories batched per random circuit instead of
+one process per sample.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from timeit import default_timer as timer
+
+import numpy as np
+
+from ..dv import Simulator as DVSimulator
+from ..dv.states import State as DVState
+from ..gkp import db2eps
+from ..gkp.batched import BatchedGKP
+from ..gkp.compiled import logical_coeffs
+from .common import config_cli, prepare_output, write_data
+from .rb import random_circ
+
+logger = logging.getLogger(__name__)
+
+
+def sample_depth_batched(runner: BatchedGKP, db: float, depth: int,
+                         num_samples: int, batch: int, rng) -> list[dict]:
+    """RB samples for one (db, depth) cell: ceil(num_samples / batch) random
+    circuits, `batch` trajectories each, scored against the exact DV state."""
+    N = 2
+    rng = np.random.default_rng(rng)
+    rows: list[dict] = []
+    while len(rows) < num_samples:
+        n = min(batch, num_samples - len(rows))
+        dv_circ, gkp_circ = random_circ(N, depth, rng)
+        tensors, frames = runner.run_circuit(
+            gkp_circ, logical_coeffs([DVState.ZERO] * N), n,
+            rng_seed=int(rng.integers(2**31)))
+        rho_re, rho_im = (np.asarray(x) for x in runner.readout(tensors, frames))
+        psi = np.asarray(DVSimulator(dv_circ).run([DVState.ZERO] * N)).ravel()
+        for t in range(n):
+            rho = rho_re[t] + 1j * rho_im[t]
+            tr = np.trace(rho).real
+            if not np.isfinite(tr) or tr <= 0:
+                logger.warning("dropping non-finite trajectory (trace=%s)", tr)
+                continue
+            rho = rho / tr
+            rows.append({
+                "db": float(db), "depth": int(depth),
+                "fidelity": float(np.real(np.conj(psi) @ rho @ psi)),
+                "purity": float(np.trace(rho @ rho).real),
+            })
+    return rows
+
+
+@dataclasses.dataclass
+class RBBatchedConfig:
+    """Production-parameter GKP RB sweep on the accelerator."""
+
+    dbs: str = "5.833,6.667,7.5"      # reference dbs[1:4] of linspace(5,15,13)
+    depths: str = "8,10,15,20"
+    num_samples: int = 16             # per (db, depth) cell
+    batch: int = 16                   # trajectories per random circuit
+    grid_points: int = 1000
+    grid_span: float = 20.0
+    max_bond_dim: int = 100
+    rel_err: float = 1e-2
+    rng_seed: int = 0
+    data_file: str = "gkp_rb_batched.dat"
+    overwrite: bool = False
+
+
+def main(config: RBBatchedConfig | None = None):
+    config = config or RBBatchedConfig()
+    if config.data_file:
+        prepare_output(config.data_file, config.overwrite)
+    qs = np.linspace(-config.grid_span, config.grid_span, config.grid_points)
+    svd = {"rel_err": config.rel_err, "max_bond_dim": config.max_bond_dim}
+    rng = np.random.default_rng(config.rng_seed)
+
+    data: list[dict] = []
+    for db in [float(x) for x in str(config.dbs).split(",")]:
+        runner = BatchedGKP(qs, float(db2eps(db)), svd, adaptive=True,
+                            granularity="op")
+        for depth in [int(x) for x in str(config.depths).split(",")]:
+            t0 = timer()
+            data += sample_depth_batched(runner, db, depth,
+                                         config.num_samples, config.batch, rng)
+            logger.info("db=%.3f depth=%d: %d samples in %.1fs",
+                        db, depth, config.num_samples, timer() - t0)
+            if config.data_file:
+                write_data(config.data_file, data)
+    return data
+
+
+if __name__ == "__main__":
+    main(config_cli(RBBatchedConfig))

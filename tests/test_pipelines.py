@@ -164,3 +164,19 @@ def test_rb_sample_depth_smoke():
     assert 0.0 <= s["fidelity"] <= 1.0 + 1e-6
     assert 0.0 <= s["purity"] <= 1.0 + 1e-6
     assert s["db"] == 10.0 and s["depth"] == 3
+
+
+def test_rb_batched_smoke():
+    """Production-path RB driver (batched op-granularity engine) produces
+    valid samples at toy parameters."""
+    import numpy as np
+    from quantum_computations_tpu.pipelines.rb_batched import RBBatchedConfig, main
+
+    rows = main(RBBatchedConfig(dbs="10.0", depths="2", num_samples=2, batch=2,
+                                grid_points=128, grid_span=15.0,
+                                max_bond_dim=10, data_file="", rng_seed=1))
+    assert len(rows) == 2
+    for r in rows:
+        assert set(r) == {"db", "depth", "fidelity", "purity"}
+        assert -0.05 <= r["fidelity"] <= 1.05
+        assert 0.0 < r["purity"] <= 1.1

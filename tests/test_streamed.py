@@ -20,7 +20,11 @@ def _pair(a=4, d=64, k=3, b=2):
 @pytest.mark.parametrize("warp_params", [
     ("rot", 0.7), ("shear", 1.0, True), ("cz", 1.0), ("swap",), ("id",),
 ])
-def test_streamed_matches_materialised(warp_params):
+def test_streamed_matches_materialised(warp_params, monkeypatch):
+    import quantum_computations_tpu.ops.streamed as st
+    # pin the direct single-split driver (the cz decomposition of "rot" makes
+    # three sequential truncations — covered by its own physical-state test)
+    monkeypatch.setattr(st, "_BS_DECOMP", "rot")
     t1, t2 = _pair()
     qs = jnp.linspace(-5, 5, 64)
     mbd, rel = 8, 1e-3
@@ -128,3 +132,79 @@ def test_streamed_multi_chunk_both_axes(monkeypatch):
     dropped = s_exact[int(rank):].sum()
     err = np.linalg.norm(full.reshape(m.shape) - m, ord="fro")
     assert err <= dropped * 1.5 + 1e-6, (err, dropped)
+
+
+def test_streamed_batched_matches_unbatched():
+    """The batched program driver equals per-sample unbatched calls."""
+    from quantum_computations_tpu.ops.streamed import streamed_pair_svd_batched
+
+    qs = jnp.linspace(-5, 5, 64)
+    B = 3
+    t1 = jnp.stack([_pair()[0] for _ in range(B)])
+    t2 = jnp.stack([_pair()[1] for _ in range(B)])
+    keys = jax.random.split(jax.random.PRNGKey(7), B)
+
+    m1b, m2b, rankb = streamed_pair_svd_batched(
+        t1, t2, qs, ("rot", 0.7), max_bond_dim=8, abs_err=0.0, rel_err=1e-3,
+        keys=keys, power_iters=7,
+    )
+    assert m1b.shape[0] == B and rankb.shape == (B,)
+    for s in range(B):
+        m1, m2, rank = streamed_pair_svd(
+            t1[s], t2[s], qs, ("rot", 0.7), max_bond_dim=8, abs_err=0.0,
+            rel_err=1e-3, key=keys[s], power_iters=7,
+        )
+        # same sketch key => identical programs modulo vmap; compare the
+        # reconstructed (not gauge-dependent) products
+        full_b = np.einsum("abj,jcd->abcd", np.asarray(m1b[s]), np.asarray(m2b[s]))
+        full_s = np.einsum("abj,jcd->abcd", np.asarray(m1), np.asarray(m2))
+        np.testing.assert_allclose(full_b, full_s, rtol=1e-4, atol=1e-6)
+        assert int(rankb[s]) == int(rank)
+
+
+def test_batched_op_bs_streamed_dispatch(monkeypatch):
+    """BatchedGKP._op_bs routes oversize contractions through the streamed
+    batched driver and matches the materialised executor."""
+    import quantum_computations_tpu.cv.gates as cvg
+    from quantum_computations_tpu.config import SVDOptions
+    from quantum_computations_tpu.gkp.batched import BatchedGKP
+
+    qs = np.linspace(-8, 8, 80)
+    t1, t2 = _physical_pair(qs)
+    B = 2
+    t1b = jnp.stack([jnp.asarray(t1)] * B)
+    t2b = jnp.stack([jnp.asarray(t2)] * B)
+    eng = BatchedGKP(qs, 0.1, SVDOptions(max_bond_dim=6, rel_err=1e-4),
+                     granularity="op")
+    keys = jax.random.split(jax.random.PRNGKey(3), B)
+
+    def run(threshold):
+        monkeypatch.setattr(cvg, "_STREAM_THRESHOLD", threshold)
+        out = eng._op_bs([t1b, t2b], 0, 1, keys)
+        return np.asarray(jnp.einsum("sabj,sjcd->sabcd", out[0], out[1]))
+
+    big = run(1 << 40)   # materialised executor
+    small = run(1)       # streamed batched driver
+    assert np.abs(big - small).max() < 2e-2 * np.abs(big).max()
+
+
+def test_rot_via_cz_decomposition_physical():
+    """The 3-CZ (Fourier-conjugated shear) BS split agrees with the
+    materialised rot warp on smooth physical states."""
+    import quantum_computations_tpu.ops.streamed as st
+
+    qs = np.linspace(-8, 8, 80)
+    t1, t2 = _physical_pair(qs)
+    t1, t2 = jnp.asarray(t1), jnp.asarray(t2)
+    qsj = jnp.asarray(qs)
+
+    assert st._BS_DECOMP == "cz"  # the default drives the decomposition
+    for warp in (("rot", np.pi / 4), ("shear", 0.8, True), ("shear", 0.8, False)):
+        m1, m2, rank = streamed_pair_svd(
+            t1, t2, qsj, warp, max_bond_dim=6, abs_err=0.0,
+            rel_err=1e-4, key=jax.random.PRNGKey(2), power_iters=7,
+        )
+        got = np.einsum("abj,jcd->abcd", np.asarray(m1), np.asarray(m2))
+        ref = np.asarray(interp.affine_warp(
+            qsj, jnp.tensordot(t1, t2, axes=(2, 0)), warp))
+        assert np.abs(got - ref).max() < 2e-2 * np.abs(ref).max(), warp
