@@ -68,6 +68,22 @@ def _split(tensor, left, right, opts: SVDOptions, key):
 import os as _os
 _STREAM_THRESHOLD = int(_os.environ.get("QCT_STREAM_THRESHOLD", 1 << 28))
 _WARP_BACKEND = _os.environ.get("QCT_WARP", "fft")
+# On accelerator backends the materialised split's complex SVD runs through a
+# realified-Gram device eigh whose f32 accuracy degrades on large degenerate
+# spectra (measured: fabricated slowly-decaying tails on rank-2 splice
+# matrices at n=1000 on the tunnelled TPU). Above this matrix side, concrete
+# two-mode splits use the host-driven streamed path instead, whose small-Gram
+# eigendecomposition runs on the host.
+_EIGH_SAFE_SIDE = int(_os.environ.get("QCT_EIGH_SAFE_SIDE", 512))
+
+
+def _use_streamed(a: int, d: int, b: int, concrete: bool, opts) -> bool:
+    if opts.max_bond_dim is None:
+        return False
+    if a * d * d * b > _STREAM_THRESHOLD:
+        return True
+    return (concrete and jax.default_backend() != "cpu"
+            and min(a * d, d * b) > _EIGH_SAFE_SIDE)
 
 
 def _pair_transform_split(mps, left_index, right_index, warp_params, opts, key):
@@ -82,7 +98,8 @@ def _pair_transform_split(mps, left_index, right_index, warp_params, opts, key):
     a, d, _ = t1.shape
     b = t2.shape[-1]
     qs = jnp.asarray(mps.domain)
-    if a * d * d * b > _STREAM_THRESHOLD and opts.max_bond_dim is not None:
+    concrete = not any(isinstance(x, jax.core.Tracer) for x in (t1, t2))
+    if _use_streamed(a, d, b, concrete, opts):
         from ..ops.streamed import effective_power_iters, streamed_pair_svd
 
         cap = min(opts.max_bond_dim, a * d, d * b)

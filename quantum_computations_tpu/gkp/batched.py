@@ -124,8 +124,7 @@ class BatchedGKP:
         t1, t2 = tensors[li], tensors[ri]
         _, a, d, _ = t1.shape
         b = t2.shape[-1]
-        if (a * d * d * b > cvg._STREAM_THRESHOLD
-                and self.opts.max_bond_dim is not None):
+        if cvg._use_streamed(a, d, b, True, self.opts):
             # Oversize contraction: stream the contraction+rotation+SVD from
             # host-driven split programs (cv gates `_pair_transform_split`'s
             # streamed branch, batched). Angle sign follows cvg.BS.apply.

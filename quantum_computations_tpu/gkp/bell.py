@@ -2,8 +2,10 @@
 
 Parity with reference ``simulators/gkp_simulator/insert_bell.py``: the
 qunaught Bell state BS|ø>|ø> is prepared analytically as a two-tensor MPS with
-internal bond 2 (coeff |0>|0> + coeff |1>|1>, :44-51), avoiding a beamsplitter;
-``InsertBell`` splices it into the chain with two truncated SVDs (:61-97).
+internal bond 2 (coeff |0>|0> + coeff |1>|1>, :44-51), avoiding a beamsplitter.
+``InsertBell`` splices it into the chain EXACTLY and SVD-free (the reference
+uses two truncated SVDs, :61-97): a product segment passes the chain bond
+through on an identity-kron — see :func:`splice_product_segment`.
 """
 
 from __future__ import annotations
@@ -17,8 +19,7 @@ import numpy as np
 
 from ..config import SVDOptions, complex_dtype
 from ..cv.gates import Insert
-from ..cv.mps import MPS, tensor_svd
-from ..ops.linalg import trim_split
+from ..cv.mps import MPS
 from ..cv.states import State
 
 logger = logging.getLogger(__name__)
@@ -66,6 +67,30 @@ class GKPBellState(Enum):
         return MPS(qs, [bell_tensor, jnp.permute_dims(bell_tensor, (2, 1, 0))])
 
 
+def splice_product_segment(t1, b1, b2):
+    """Exact SVD-free insertion tensors for a product two-tensor segment.
+
+    A Bell pair is a PRODUCT state w.r.t. the rest of the chain, so inserting
+    it between two tensors needs no re-factorisation at all: the existing
+    chain bond r passes through the new tensors on an identity, the segment's
+    internal bond 2 rides alongside (identity-kron), giving bonds r | 2r | r:
+
+        b1'[beta, x, (beta', c)] = delta(beta, beta') b1[x, c]
+        b2'[(beta, c), y, beta'] = delta(beta, beta') b2[c, y]
+
+    This replaces the reference's two truncated SVDs (insert_bell.py:61-97)
+    — exact, cheaper, and free of large degenerate Gram eigendecompositions
+    (whose f32 device eigh is untrustworthy on the TPU backend). The 2r bond
+    is truncated back by the next two-mode gate's SVD split.
+    """
+    r = t1.shape[-1]
+    d = b1.shape[0]
+    eye = jnp.eye(r, dtype=t1.dtype)
+    b1_t = (eye[:, None, :, None] * b1[None, :, None, :]).reshape(r, d, 2 * r)
+    b2_t = (eye[:, None, None, :] * b2[None, :, :, None]).reshape(2 * r, d, r)
+    return b1_t, b2_t
+
+
 class InsertBell(Insert):
     """Insert a two-mode GKP Bell state at `index`."""
 
@@ -87,35 +112,11 @@ class InsertBell(Insert):
             mps.tensors = mps.tensors + bell.tensors
             return
 
-        opts = self.effective_svd_options(svd_options)
-        k1 = k2 = None
-        if key is not None:
-            k1, k2 = jax.random.split(key)
-
-        # Chain ... t1 | (b1 - b2) | t2 ... : tensor b1 into t1's right edge,
-        # b2 into t2's left edge, restoring MPS form with truncated SVDs.
-        t1, t2 = mps[idx - 1], mps[idx]
+        # Chain ... t1 | (b1 - b2) | t2 ... : the Bell pair is a product
+        # segment, so the splice is exact and SVD-free (identity-kron; the
+        # transient 2r bond is re-truncated by the next two-mode gate).
+        t1 = mps[idx - 1]
         b1, b2 = bell[0][0, :, :], bell[1][:, :, 0]  # (d, 2), (2, d)
-
-        tb = jnp.einsum("aib,kd->aikbd", t1, b1)
-        tb = tb.reshape(tb.shape[:-2] + (-1,))
-        t1, b1_t, rank = tensor_svd(
-            tb, (0, 1), (2, 3), max_bond_dim=opts.max_bond_dim,
-            abs_err=opts.abs_err, rel_err=opts.rel_err, key=k1,
-            svd_method=opts.svd_method,
-        )
-        t1, b1_t = trim_split(t1, b1_t, rank)
-
-        tb = jnp.einsum("dl,bjc->bdljc", b2, t2)
-        tb = tb.reshape((-1,) + tb.shape[2:])
-        b2_t, t2, rank = tensor_svd(
-            tb, (0, 1), (2, 3), max_bond_dim=opts.max_bond_dim,
-            abs_err=opts.abs_err, rel_err=opts.rel_err, key=k2,
-            svd_method=opts.svd_method,
-        )
-        b2_t, t2 = trim_split(b2_t, t2, rank)
-
-        mps[idx - 1] = t1
+        b1_t, b2_t = splice_product_segment(t1, b1, b2)
         mps.tensors.insert(idx, b1_t)
         mps.tensors.insert(idx + 1, b2_t)
-        mps[idx + 2] = t2

@@ -59,24 +59,15 @@ def _insert_bell(mps: MPS, idx: int, coeff1, epsilon, opts: SVDOptions, key):
         mps.tensors = mps.tensors + [b_left, b_right]
         return
 
-    k1, k2 = jax.random.split(key)
-    t1, t2 = mps[idx - 1], mps[idx]
-    b1, b2 = b_left[0], b_right[:, :, 0]
+    # Product-segment splice: exact and SVD-free (see bell.splice_product_segment);
+    # the transient 2r bond is re-truncated by the gadget's beamsplitter splits.
+    from .bell import splice_product_segment
 
-    tb = jnp.einsum("aib,kd->aikbd", t1, b1)
-    tb = tb.reshape(tb.shape[:-2] + (-1,))
-    t1, b1_t, _ = tensor_svd(tb, (0, 1), (2, 3), max_bond_dim=opts.max_bond_dim,
-                             abs_err=opts.abs_err, rel_err=opts.rel_err, key=k1,
-                             svd_method=opts.svd_method)
-    tb = jnp.einsum("dl,bjc->bdljc", b2, t2)
-    tb = tb.reshape((-1,) + tb.shape[2:])
-    b2_t, t2, _ = tensor_svd(tb, (0, 1), (2, 3), max_bond_dim=opts.max_bond_dim,
-                             abs_err=opts.abs_err, rel_err=opts.rel_err, key=k2,
-                             svd_method=opts.svd_method)
-    mps[idx - 1] = t1
+    t1 = mps[idx - 1]
+    b1, b2 = b_left[0], b_right[:, :, 0]
+    b1_t, b2_t = splice_product_segment(t1, b1, b2)
     mps.tensors.insert(idx, b1_t)
     mps.tensors.insert(idx + 1, b2_t)
-    mps[idx + 2] = t2
 
 
 def _homodyne(mps: MPS, idx: int, angle, key, *, static_zero: bool = False):

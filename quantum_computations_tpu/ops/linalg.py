@@ -47,16 +47,30 @@ def svd_via_eigh(A: jax.Array):
         U, s, Vh = svd_via_eigh(A.T.conj())
         return Vh.T.conj(), s, U.T.conj()
     B = A.T.conj() @ A
-    # split exact degeneracies (e.g. symmetric states); relative size 1e-6
+    # Split exact degeneracies (e.g. symmetric states): the realified pair
+    # extraction below needs eigenvalue pairs separated by more than eigh's
+    # resolution (~eps * lambda_max), else pairs interleave. The perturbation
+    # scale therefore tracks the dtype.
+    split = 1e-4 if B.real.dtype == jnp.float32 else 1e-6
     scale = jnp.trace(B).real / max(n, 1)
-    B = B + (1e-6 * scale / max(n, 1)) * jnp.diag(jnp.arange(n, dtype=B.real.dtype))
+    B = B + (split * scale / max(n, 1)) * jnp.diag(jnp.arange(n, dtype=B.real.dtype))
     M = jnp.block([[B.real, -B.imag], [B.imag, B.real]])
     w, U2 = jnp.linalg.eigh(M)  # ascending, eigenvalues doubled
     w = w[::-1]
     U2 = U2[:, ::-1]
-    V = (U2[:n, ::2] + 1j * U2[n:, ::2]).astype(A.dtype)  # one per pair, unit norm
+    V = (U2[:n, ::2] + 1j * U2[n:, ::2]).astype(A.dtype)  # one per pair
+    # In a degenerate eigenspace the extracted complex combinations can have
+    # norms far from 1 (the real basis mixes conjugate pairs); renormalise so
+    # ||A v|| below measures a direction, not a scaled one. NOTE the accuracy
+    # of this whole routine is bounded by the backend's eigh — the tunnelled
+    # TPU's f32 eigh degrades badly on large degenerate spectra (fabricated
+    # ~1e-3*lambda_max tails measured at n=2000), which is why the production
+    # paths avoid large device Grams entirely (exact Bell splices; host-eigh
+    # streamed two-mode splits above cv.gates._EIGH_SAFE_SIDE).
+    norms = jnp.linalg.norm(V, axis=0)
+    V = V / jnp.where(norms > 0, norms, 1.0)[None, :]
     AV = A @ V
-    s = jnp.linalg.norm(AV, axis=0)  # exact singular values of A
+    s = jnp.linalg.norm(AV, axis=0)  # exact singular values for exact eigvecs
     U = AV / jnp.where(s > 0, s, 1.0)[None, :]
     return U, s, V.T.conj()
 
@@ -120,7 +134,7 @@ def _hermitian_inv_sqrt(G: jax.Array, eps_rel: float = 1e-12) -> jax.Array:
         w, V = jnp.linalg.eigh(M := G)
     floor = jnp.max(w) * eps_rel
     inv_sqrt_w = jnp.where(w > floor, 1.0 / jnp.sqrt(jnp.clip(w, floor, None)), 0.0)
-    return (V * inv_sqrt_w[None, :]) @ V.T.conj()
+    return jnp.matmul(V * inv_sqrt_w[None, :], V.T.conj(), precision=PRECISION)
 
 
 def _ns_inv_sqrt(G: jax.Array, iters: int = 24, ridge: float = 1e-7) -> jax.Array:
@@ -142,8 +156,12 @@ def _ns_inv_sqrt(G: jax.Array, iters: int = 24, ridge: float = 1e-7) -> jax.Arra
 
     def body(_, YZ):
         Y, Z = YZ
-        T = 1.5 * eye - 0.5 * (Z @ Y)
-        return Y @ T, T @ Z
+        # full precision: at the MXU's bf16 default an ill-conditioned Gram
+        # goes indefinite and the iteration diverges to NaN (these are tiny
+        # (l x l) matmuls — precision here is free)
+        T = 1.5 * eye - 0.5 * jnp.matmul(Z, Y, precision=PRECISION)
+        return (jnp.matmul(Y, T, precision=PRECISION),
+                jnp.matmul(T, Z, precision=PRECISION))
 
     Y, Z = jax.lax.fori_loop(0, iters, body, (Y, Z))
     return Z / jnp.sqrt(t)
@@ -164,17 +182,23 @@ def orthonormalize(Y: jax.Array, *, method: str = "eigh") -> jax.Array:
     cheaper to compile on the remote TPU backend; accuracy is bounded by the
     polish pass exactly as for eigh.
     """
+    # Gram-path matmuls run at full precision: at the TPU's bf16 matmul
+    # default, the Gram of an ill-conditioned sketch loses positive
+    # semi-definiteness and the inverse-sqrt (either method) produces
+    # garbage/NaN. The Grams are (l x l) — precision here is free.
     if method == "ns":
         # Two full NS inverse-sqrt passes (each pass reduces the condition
         # number roughly quadratically), then the polish.
         Q = Y
         for _ in range(2):
-            Q = Q @ _ns_inv_sqrt(Q.T.conj() @ Q)
+            G = jnp.matmul(Q.T.conj(), Q, precision=PRECISION)
+            Q = jnp.matmul(Q, _ns_inv_sqrt(G), precision=PRECISION)
     else:
-        Q = Y @ _hermitian_inv_sqrt(Y.T.conj() @ Y)
-    G2 = Q.T.conj() @ Q
+        G = jnp.matmul(Y.T.conj(), Y, precision=PRECISION)
+        Q = jnp.matmul(Y, _hermitian_inv_sqrt(G), precision=PRECISION)
+    G2 = jnp.matmul(Q.T.conj(), Q, precision=PRECISION)
     eye = jnp.eye(G2.shape[0], dtype=G2.dtype)
-    return Q @ (1.5 * eye - 0.5 * G2)
+    return jnp.matmul(Q, 1.5 * eye - 0.5 * G2, precision=PRECISION)
 
 
 def randomized_range_finder(A: jax.Array, l: int, q: int, key: jax.Array) -> jax.Array:

@@ -23,7 +23,6 @@ from timeit import default_timer as timer
 
 import numpy as np
 
-from ..dv import Simulator as DVSimulator
 from ..dv.states import State as DVState
 from ..gkp import db2eps
 from ..gkp.batched import BatchedGKP
@@ -32,6 +31,26 @@ from .common import config_cli, prepare_output, write_data
 from .rb import random_circ
 
 logger = logging.getLogger(__name__)
+
+
+def _dv_state_np(circ, N: int) -> np.ndarray:
+    """Exact DV reference state in pure NumPy.
+
+    The accelerator backend cannot eager-dispatch complex host ops (and the
+    2-qubit reference is microscopic anyway), so the reference runs entirely
+    on the host — functional twin of dv.qop.apply_unitary (qop.py:311-364).
+    """
+    psi = np.zeros(2 ** N, dtype=np.complex128)
+    psi[0] = 1.0
+    for g in circ:
+        U = np.asarray(g.matrix, dtype=np.complex128)
+        idx = list(g.indices)
+        k = len(idx)
+        perm = idx + [i for i in range(N) if i not in idx]
+        t = np.transpose(psi.reshape([2] * N), perm).reshape(2 ** k, -1)
+        t = (U @ t).reshape([2] * N)
+        psi = np.transpose(t, np.argsort(perm)).reshape(-1)
+    return psi
 
 
 def sample_depth_batched(runner: BatchedGKP, db: float, depth: int,
@@ -48,7 +67,7 @@ def sample_depth_batched(runner: BatchedGKP, db: float, depth: int,
             gkp_circ, logical_coeffs([DVState.ZERO] * N), n,
             rng_seed=int(rng.integers(2**31)))
         rho_re, rho_im = (np.asarray(x) for x in runner.readout(tensors, frames))
-        psi = np.asarray(DVSimulator(dv_circ).run([DVState.ZERO] * N)).ravel()
+        psi = _dv_state_np(dv_circ, N)
         for t in range(n):
             rho = rho_re[t] + 1j * rho_im[t]
             tr = np.trace(rho).real
