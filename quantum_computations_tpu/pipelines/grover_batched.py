@@ -1,0 +1,101 @@
+"""Grover at PRODUCTION parameters on the accelerator.
+
+Drives the CZ-only Grover circuit (reference ``impact_.../grover.py:37-53``)
+through the rank-adaptive op-granularity :class:`..gkp.batched.BatchedGKP`
+engine — chi=100 / grid-1000 on one chip, with oversize two-mode
+contractions streamed host-side. Output schema matches ``gkp_grover_*.dat``
+({epsilon, rho_real, rho_imag}), so the reference's ``plot_data.ipynb``
+success metric applies unchanged; :func:`summarize` reports mean success per
+epsilon like :mod:`.analysis`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from timeit import default_timer as timer
+
+import numpy as np
+
+from ..dv.states import State as DVState
+from ..gkp import MBGKPCircuit, db2eps
+from ..gkp.batched import BatchedGKP
+from ..gkp.compiled import logical_coeffs
+from .common import config_cli, prepare_output, write_data
+from .grover import grover, success_probability
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class GroverBatchedConfig:
+    """Production-parameter GKP Grover on the accelerator."""
+
+    tagged: str = "0,4"        # reference production oracle (grover.py:107-111)
+    dbs: str = "12.5"
+    trajectories: int = 20     # per dB value
+    batch: int = 10            # trajectories per device launch
+    grid_points: int = 1000
+    grid_span: float = 20.0
+    max_bond_dim: int = 100
+    rel_err: float = 1e-2
+    rng_seed: int = 42
+    data_file: str = "gkp_grover_batched.dat"
+    overwrite: bool = False
+
+
+def main(config: GroverBatchedConfig | None = None):
+    config = config or GroverBatchedConfig()
+    tagged = [int(x) for x in str(config.tagged).split(",")]
+    circuit, init = grover(tagged)
+    gkp_circuit = MBGKPCircuit.transpile(circuit)
+    gkp_circuit.fill()
+    coeffs = logical_coeffs(init)
+
+    if config.data_file:
+        prepare_output(config.data_file, config.overwrite)
+    qs = np.linspace(-config.grid_span, config.grid_span, config.grid_points)
+    svd = {"rel_err": config.rel_err, "max_bond_dim": config.max_bond_dim}
+
+    data: list[dict] = []
+    for i, db in enumerate([float(x) for x in str(config.dbs).split(",")]):
+        eps = float(db2eps(db))
+        runner = BatchedGKP(qs, eps, svd, adaptive=True, granularity="op")
+        done = 0
+        while done < config.trajectories:
+            n = min(config.batch, config.trajectories - done)
+            t0 = timer()
+            tensors, frames = runner.run_circuit(
+                gkp_circuit, coeffs, n, rng_seed=config.rng_seed + 1000 * i + done)
+            rho_re, rho_im = (np.asarray(x) for x in runner.readout(tensors, frames))
+            for t in range(n):
+                rho = rho_re[t] + 1j * rho_im[t]
+                if not np.isfinite(np.trace(rho).real) or np.trace(rho).real <= 0:
+                    logger.warning("dropping non-finite trajectory")
+                    continue
+                data.append({
+                    "epsilon": eps,
+                    "rho_real": rho.real.tolist(),
+                    "rho_imag": rho.imag.tolist(),
+                })
+            done += n
+            logger.info("db=%.2f: %d/%d trajectories (%.0fs/batch)", db, done,
+                        config.trajectories, timer() - t0)
+            if config.data_file:
+                write_data(config.data_file, data)
+    return data
+
+
+def summarize(data, tagged):
+    """Mean Grover success per epsilon (reference plot_data.ipynb cell 11)."""
+    from collections import defaultdict
+    by = defaultdict(list)
+    for entry in data:
+        rho = np.asarray(entry["rho_real"]) + 1j * np.asarray(entry["rho_imag"])
+        by[entry["epsilon"]].append(success_probability(rho, tagged))
+    return {eps: (float(np.mean(v)), float(np.std(v) / np.sqrt(len(v))))
+            for eps, v in sorted(by.items())}
+
+
+if __name__ == "__main__":
+    main(config_cli(GroverBatchedConfig))
