@@ -16,9 +16,12 @@ transform of the probability vector — exactly. Both
 ``mpmath.eigh``) and :func:`balanced_depolarisation_noise` reduce to the same
 closed form :func:`pauli_channel_power`, with no iterative eigensolver.
 
-Precision: dps=80 matches the reference's effective precision
-(``Distillation_functions.py:5`` sets 80 after ``sequence_class.py:5``'s 24;
-mpmath precision is process-global, last setter wins).
+Precision: dps=80 is pinned as the superset of the reference's precisions.
+The reference's effective dps is import-order dependent (mpmath precision is
+process-global, last setter wins): the parallel search scripts end at 80 via
+``Distillation_functions.py:5``, while ``physical_distillation.py``'s import
+chain (and its ``__main__``) ends at ``utils.py``'s 24. Both exceed float64,
+so the numbers are unaffected; 80 covers every driver.
 """
 
 from __future__ import annotations

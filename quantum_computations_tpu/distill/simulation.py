@@ -13,7 +13,11 @@ under a memory budget, rate estimation) with a different execution design:
   sorted-list-with-insort: pop the stage with the largest remaining gap,
   start one process if memory/input/buffer constraints allow (re-push with
   the gap decremented), or drop the stage for this tick on first failure —
-  the same schedule the reference's insort loop produces.
+  an equivalent greedy schedule to the reference's insort loop (tie-breaks
+  among equal quota gaps differ: the heap picks the smallest stage index,
+  the reference's pop-from-end picks the most recently inserted; admission
+  order among tied stages can therefore differ, which only reshuffles RNG
+  draws that diverge by design anyway).
 
 Statistical behaviour is equivalent (Bernoulli-per-process == binomial on
 the cohort); RNG streams are NOT reference-identical — the framework defines

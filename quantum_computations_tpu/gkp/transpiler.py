@@ -220,5 +220,12 @@ class MBGKPCircuit:
         for later gates on that qubit (reference transpiler.py:195-206)."""
         q = gate.indices[0]
         layer_idx = max(self._next_free[q] - 1, 0)
-        self._layers[layer_idx].add_pauli(q, _PAULI_FRAME[type(gate)])
-        self._next_free[q] = layer_idx + 1
+        layer = self._layers[layer_idx]
+        layer.add_pauli(q, _PAULI_FRAME[type(gate)])
+        if layer.paulis[q] == [0, 0] and not layer._occupied[q]:
+            # Two identical Paulis cancelled and nothing else holds the slot:
+            # it reverts to unoccupied, exactly as the reference's backward
+            # occupied-scan would see it (reference transpiler.py:195-206).
+            self._next_free[q] = layer_idx
+        else:
+            self._next_free[q] = layer_idx + 1

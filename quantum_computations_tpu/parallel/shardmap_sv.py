@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..config import PRECISION, complex_dtype
 from .mesh import data_mesh
@@ -200,6 +200,117 @@ class ShardMapStateVector:
             return jax.lax.psum(p, axis)
 
         return jax.jit(probs_local)(self.state)
+
+    # -- measurement / sampling ----------------------------------------------
+    def _project_z(self, qubit: int, outcome: int, prob):
+        """Collapse `qubit` onto Z-eigenstate `outcome` and renormalise.
+
+        One shard_map program, zero communication: projection is an
+        elementwise mask in both the local-slot and device-bit layouts.
+        """
+        slot = self.slot_of[qubit]
+        axis = self.axis
+        p = jnp.asarray(prob)
+
+        if slot < self.k:
+            shift = self.k - 1 - slot
+
+            @partial(shard_map, mesh=self.mesh, in_specs=(P(axis), P()),
+                     out_specs=P(axis))
+            def proj_g(block, pr):
+                me = jax.lax.axis_index(axis)
+                keep = ((me >> shift) & 1) == outcome
+                return jnp.where(keep, block, 0.0) / jnp.sqrt(pr).astype(block.dtype)
+
+            self.state = jax.jit(proj_g)(self.state, p)
+            return
+
+        pre, post = self._local_view_axes(slot)
+
+        @partial(shard_map, mesh=self.mesh, in_specs=(P(axis), P()),
+                 out_specs=P(axis))
+        def proj_l(block, pr):
+            x = block.reshape(pre, 2, post)
+            mask = (jnp.arange(2) == outcome)[None, :, None]
+            x = jnp.where(mask, x, 0.0) / jnp.sqrt(pr).astype(block.dtype)
+            return x.reshape(1, -1)
+
+        self.state = jax.jit(proj_l)(self.state, p)
+
+    def measure(self, qubit: int, key=None, *, theta: float = 0.0,
+                phi: float = 0.0, result: int | None = None) -> int:
+        """Projective measurement along the (theta, phi) axis with collapse.
+
+        Matches the DV engine's ``M`` semantics (dv/gates.py `M.apply`;
+        reference ``simulators/dv_simulator/gates.py:155-186``): Born
+        probabilities along the axis, sampled outcome (or post-selected via
+        ``result``), state projected onto the outcome eigenvector and
+        renormalised. The outcome is returned as a host int — mid-circuit
+        classical feed-forward is host-side control flow in this engine, the
+        same structure as the eager reference.
+
+        A general axis is handled by basis change: P_e = U P_z U^dagger, so
+        apply U^dagger (local 1q program), project in Z, apply U back.
+        """
+        from ..dv import qop
+
+        rotated = (theta, phi) != (0.0, 0.0)
+        if rotated:
+            u = qop.axis_rotation(phi, [0, 0, 1]) @ qop.axis_rotation(theta, [0, 1, 0])
+            self.apply(np.conj(u).T, (qubit,))
+        p0, p1 = (float(x) for x in np.asarray(self.probabilities(qubit)))
+        if result is not None:
+            outcome = int(result)
+        else:
+            if key is None:
+                raise ValueError("Measurement requires a PRNG key (pass key=...).")
+            outcome = int(jax.random.bernoulli(key, p1 / (p0 + p1)))
+        self._project_z(qubit, outcome, p1 if outcome else p0)
+        if rotated:
+            self.apply(u, (qubit,))
+        return outcome
+
+    def sample(self, key, num_samples: int) -> np.ndarray:
+        """Born-sample `num_samples` bitstrings without collapsing the state.
+
+        Two-stage ancestral sampling that never gathers the 2^N distribution:
+        every device draws a LOCAL index from its shard's conditional
+        distribution and reports its total probability mass (a (D,)-vector);
+        the host then picks the device per draw from the mass distribution.
+        Communication is O(D * num_samples) scalars, independent of N.
+
+        Returns an (num_samples, N) int8 array in LOGICAL qubit order.
+        """
+        axis = self.axis
+        n = int(num_samples)
+
+        @partial(shard_map, mesh=self.mesh, in_specs=(P(axis), P()),
+                 out_specs=(P(axis), P(axis)))
+        def local_draws(block, keys):
+            probs = jnp.abs(block.reshape(-1)) ** 2
+            mass = jnp.sum(probs)
+            logits = jnp.log(probs)
+            me = jax.lax.axis_index(axis)
+
+            def draw(k):
+                return jax.random.categorical(jax.random.fold_in(k, me), logits)
+
+            idx = jax.vmap(draw)(keys)
+            return mass[None], idx[None, :]
+
+        key, sub = jax.random.split(key)
+        keys = jax.random.split(sub, n)
+        mass, local_idx = jax.jit(local_draws)(self.state, keys)
+        mass = np.asarray(mass, np.float64)
+        local_idx = np.asarray(local_idx)  # (D, n)
+
+        dev = np.asarray(jax.random.categorical(
+            key, jnp.log(jnp.asarray(mass / mass.sum())), shape=(n,)))
+        flat = dev.astype(np.int64) * (1 << self.L) + local_idx[dev, np.arange(n)]
+
+        # physical-slot bits (MSB-first) -> logical qubit order
+        bits = (flat[:, None] >> (self.N - 1 - np.arange(self.N))[None, :]) & 1
+        return bits[:, [self.slot_of[q] for q in range(self.N)]].astype(np.int8)
 
     def to_dense(self):
         """Gather the full state in LOGICAL qubit order (testing only)."""

@@ -16,6 +16,24 @@ import os
 from typing import Any
 
 
+def setup_compile_cache(path: str | None = None):
+    """Point JAX's persistent compilation cache at the repo-level `.jax_cache`.
+
+    Production drivers compile tens of op-level executors (one per gadget-op x
+    chain-shape signature); on the tunnelled accelerator a cold compile costs
+    30-300 s, so the cache is the difference between hour-scale warmup and
+    seconds. Safe to call repeatedly; a no-op if the cache is already set.
+    """
+    import jax
+
+    if path is None:
+        path = os.environ.get("QCT_COMPILE_CACHE") or os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def write_data(path: str, data: list[dict]):
     """Whole-file JSON rewrite (reference checkpointing pattern)."""
     with open(path, "w") as fh:

@@ -230,7 +230,7 @@ def imperfect_cx_gate_experiment(epsilon: float = 0.15,
     """Two-mode analogue with a CX controlled displacement on |+>|+>
     (figures.ipynb cell 10)."""
     qs = jnp.linspace(-15, 15, grid_points)
-    dq = float((qs[-1] - qs[0]) / len(qs))
+    dq = float((qs[-1] - qs[0]) / (len(qs) - 1))
     plus = normalise(qs, gkp_sym(qs, epsilon, (1, 1)))
     zero = normalise(qs, gkp_sym(qs, epsilon, (1, 0)))
     one = normalise(qs, gkp_sym(qs, epsilon, (0, 1)))

@@ -17,11 +17,10 @@ from timeit import default_timer as timer
 
 import numpy as np
 
-from ..dv.states import State as DVState
 from ..gkp import MBGKPCircuit, db2eps
 from ..gkp.batched import BatchedGKP
 from ..gkp.compiled import logical_coeffs
-from .common import config_cli, prepare_output, write_data
+from .common import config_cli, prepare_output, setup_compile_cache, write_data
 from .grover import grover, success_probability
 
 logger = logging.getLogger(__name__)
@@ -46,6 +45,7 @@ class GroverBatchedConfig:
 
 def main(config: GroverBatchedConfig | None = None):
     config = config or GroverBatchedConfig()
+    setup_compile_cache()
     tagged = [int(x) for x in str(config.tagged).split(",")]
     circuit, init = grover(tagged)
     gkp_circuit = MBGKPCircuit.transpile(circuit)
@@ -58,31 +58,50 @@ def main(config: GroverBatchedConfig | None = None):
     svd = {"rel_err": config.rel_err, "max_bond_dim": config.max_bond_dim}
 
     data: list[dict] = []
+    meta: list[dict] = []
     for i, db in enumerate([float(x) for x in str(config.dbs).split(",")]):
         eps = float(db2eps(db))
         runner = BatchedGKP(qs, eps, svd, adaptive=True, granularity="op")
-        done = 0
-        while done < config.trajectories:
-            n = min(config.batch, config.trajectories - done)
+        kept = attempted = dropped = 0
+        t_db = timer()
+        while kept < config.trajectories:
+            if attempted >= 3 * config.trajectories + 3 * config.batch:
+                raise RuntimeError(
+                    f"db={db}: {dropped}/{attempted} trajectories non-finite — "
+                    "aborting instead of resampling forever")
+            n = min(config.batch, config.trajectories - kept)
             t0 = timer()
             tensors, frames = runner.run_circuit(
-                gkp_circuit, coeffs, n, rng_seed=config.rng_seed + 1000 * i + done)
+                gkp_circuit, coeffs, n,
+                rng_seed=config.rng_seed + 1000 * i + attempted)
             rho_re, rho_im = (np.asarray(x) for x in runner.readout(tensors, frames))
+            attempted += n
             for t in range(n):
                 rho = rho_re[t] + 1j * rho_im[t]
                 if not np.isfinite(np.trace(rho).real) or np.trace(rho).real <= 0:
+                    dropped += 1
                     logger.warning("dropping non-finite trajectory")
                     continue
+                kept += 1
                 data.append({
                     "epsilon": eps,
                     "rho_real": rho.real.tolist(),
                     "rho_imag": rho.imag.tolist(),
                 })
-            done += n
-            logger.info("db=%.2f: %d/%d trajectories (%.0fs/batch)", db, done,
+            logger.info("db=%.2f: %d/%d trajectories (%.0fs/batch)", db, kept,
                         config.trajectories, timer() - t0)
             if config.data_file:
                 write_data(config.data_file, data)
+        dt = timer() - t_db
+        meta.append({
+            "db": float(db), "epsilon": eps, "samples": kept,
+            "attempted": attempted, "dropped": dropped,
+            "drop_rate": dropped / max(1, attempted),
+            "seconds": round(dt, 1),
+            "sec_per_traj": round(dt / max(1, attempted), 2),
+        })
+        if config.data_file:
+            write_data(config.data_file + ".meta.json", meta)
     return data
 
 

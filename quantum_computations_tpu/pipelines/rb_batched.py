@@ -27,7 +27,7 @@ from ..dv.states import State as DVState
 from ..gkp import db2eps
 from ..gkp.batched import BatchedGKP
 from ..gkp.compiled import logical_coeffs
-from .common import config_cli, prepare_output, write_data
+from .common import config_cli, prepare_output, setup_compile_cache, write_data
 from .rb import random_circ
 
 logger = logging.getLogger(__name__)
@@ -54,13 +54,29 @@ def _dv_state_np(circ, N: int) -> np.ndarray:
 
 
 def sample_depth_batched(runner: BatchedGKP, db: float, depth: int,
-                         num_samples: int, batch: int, rng) -> list[dict]:
+                         num_samples: int, batch: int, rng,
+                         stats: dict | None = None) -> list[dict]:
     """RB samples for one (db, depth) cell: ceil(num_samples / batch) random
-    circuits, `batch` trajectories each, scored against the exact DV state."""
+    circuits, `batch` trajectories each, scored against the exact DV state.
+
+    Non-finite trajectories are DROPPED and resampled, and the drop is
+    counted in `stats` ({"attempted", "dropped"}) so every dataset reports
+    its drop rate — a silent resample would bias the cell mean upward if
+    failures correlate with low-fidelity trajectories.
+    """
     N = 2
     rng = np.random.default_rng(rng)
     rows: list[dict] = []
+    stats = stats if stats is not None else {}
+    stats.setdefault("attempted", 0)
+    stats.setdefault("dropped", 0)
+    max_attempts = 3 * num_samples + 3 * batch
     while len(rows) < num_samples:
+        if stats["attempted"] >= max_attempts:
+            raise RuntimeError(
+                f"cell (db={db}, depth={depth}): {stats['dropped']} of "
+                f"{stats['attempted']} trajectories non-finite — aborting "
+                "instead of resampling forever")
         n = min(batch, num_samples - len(rows))
         dv_circ, gkp_circ = random_circ(N, depth, rng)
         tensors, frames = runner.run_circuit(
@@ -68,10 +84,12 @@ def sample_depth_batched(runner: BatchedGKP, db: float, depth: int,
             rng_seed=int(rng.integers(2**31)))
         rho_re, rho_im = (np.asarray(x) for x in runner.readout(tensors, frames))
         psi = _dv_state_np(dv_circ, N)
+        stats["attempted"] += n
         for t in range(n):
             rho = rho_re[t] + 1j * rho_im[t]
             tr = np.trace(rho).real
             if not np.isfinite(tr) or tr <= 0:
+                stats["dropped"] += 1
                 logger.warning("dropping non-finite trajectory (trace=%s)", tr)
                 continue
             rho = rho / tr
@@ -102,6 +120,7 @@ class RBBatchedConfig:
 
 def main(config: RBBatchedConfig | None = None):
     config = config or RBBatchedConfig()
+    setup_compile_cache()
     if config.data_file:
         prepare_output(config.data_file, config.overwrite)
     qs = np.linspace(-config.grid_span, config.grid_span, config.grid_points)
@@ -109,17 +128,34 @@ def main(config: RBBatchedConfig | None = None):
     rng = np.random.default_rng(config.rng_seed)
 
     data: list[dict] = []
+    meta: list[dict] = []
     for db in [float(x) for x in str(config.dbs).split(",")]:
         runner = BatchedGKP(qs, float(db2eps(db)), svd, adaptive=True,
                             granularity="op")
         for depth in [int(x) for x in str(config.depths).split(",")]:
             t0 = timer()
-            data += sample_depth_batched(runner, db, depth,
-                                         config.num_samples, config.batch, rng)
-            logger.info("db=%.3f depth=%d: %d samples in %.1fs",
-                        db, depth, config.num_samples, timer() - t0)
+            stats: dict = {}
+            cell = sample_depth_batched(runner, db, depth,
+                                        config.num_samples, config.batch, rng,
+                                        stats)
+            data += cell
+            dt = timer() - t0
+            fids = [r["fidelity"] for r in cell]
+            meta.append({
+                "db": float(db), "depth": int(depth),
+                "samples": len(cell),
+                "attempted": stats["attempted"], "dropped": stats["dropped"],
+                "drop_rate": stats["dropped"] / max(1, stats["attempted"]),
+                "seconds": round(dt, 1),
+                "sec_per_traj": round(dt / max(1, stats["attempted"]), 2),
+                "mean_fidelity": float(np.mean(fids)),
+                "sem_fidelity": float(np.std(fids) / np.sqrt(len(fids))),
+            })
+            logger.info("db=%.3f depth=%d: %d samples in %.1fs (%d dropped)",
+                        db, depth, len(cell), dt, stats["dropped"])
             if config.data_file:
                 write_data(config.data_file, data)
+                write_data(config.data_file + ".meta.json", meta)
     return data
 
 

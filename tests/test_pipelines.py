@@ -180,3 +180,46 @@ def test_rb_batched_smoke():
         assert set(r) == {"db", "depth", "fidelity", "purity"}
         assert -0.05 <= r["fidelity"] <= 1.05
         assert 0.0 < r["purity"] <= 1.1
+
+
+def test_rb_batched_meta_stats(tmp_path):
+    """The production RB driver reports per-cell drop statistics alongside
+    the reference-schema dataset (VERDICT r2: drop rate must be a metric)."""
+    from quantum_computations_tpu.pipelines.rb_batched import RBBatchedConfig, main
+
+    path = str(tmp_path / "rb.dat")
+    main(RBBatchedConfig(dbs="10.0", depths="2", num_samples=2, batch=2,
+                         grid_points=128, grid_span=15.0,
+                         max_bond_dim=10, data_file=path, rng_seed=1))
+    meta = json.loads((tmp_path / "rb.dat.meta.json").read_text())
+    assert len(meta) == 1
+    cell = meta[0]
+    assert cell["samples"] == 2 and cell["attempted"] >= 2
+    assert cell["drop_rate"] == cell["dropped"] / cell["attempted"]
+    assert 0.0 <= cell["mean_fidelity"] <= 1.05
+    assert cell["seconds"] > 0 and cell["sec_per_traj"] > 0
+
+
+@pytest.mark.slow
+def test_grover_batched_smoke(tmp_path):
+    """Production-path Grover driver (batched op-granularity engine) at toy
+    parameters: valid 8x8 rho rows, reference-compatible schema, meta stats."""
+    from quantum_computations_tpu.pipelines.grover_batched import (
+        GroverBatchedConfig, main, summarize)
+
+    path = str(tmp_path / "grov.dat")
+    data = main(GroverBatchedConfig(tagged="0,4", dbs="10.0", trajectories=2,
+                                    batch=2, grid_points=256, grid_span=15.0,
+                                    max_bond_dim=12, rng_seed=3,
+                                    data_file=path))
+    assert len(data) == 2
+    for entry in data:
+        rho = np.array(entry["rho_real"]) + 1j * np.array(entry["rho_imag"])
+        assert rho.shape == (8, 8)
+        assert 0.2 < np.trace(rho).real < 2.0
+    summary = summarize(data, [0, 4])
+    (mean, sem), = summary.values()
+    assert 0.0 <= mean <= 1.0 + 1e-6
+    meta = json.loads((tmp_path / "grov.dat.meta.json").read_text())
+    assert meta[0]["samples"] == 2
+    assert meta[0]["drop_rate"] == meta[0]["dropped"] / meta[0]["attempted"]
