@@ -130,6 +130,48 @@ def main():
         "compile_s": round(compile_s, 1),
     }), flush=True)
 
+    # ---- Pallas fused-chain path (k gates in ONE HBM pass) ----------------
+    # The chain kernel reads and writes every amplitude once for the whole
+    # k-gate chain, so its per-gate floor is roofline_pass / k. Gate bits are
+    # restricted to the fusable window of the (c_bits, block_rows) layout;
+    # a full circuit routes other qubits through apply_1q / XLA swaps.
+    k = n_gates
+    fus = pk.fusable_bits(N)
+    chain_bits = tuple((list(fus) * (k // len(fus) + 1))[:k])
+    us_np = np.stack([H] * k).astype(np.complex64)
+
+    @jax.jit
+    def fused_chain(seed):
+        key = jax.random.PRNGKey(seed)
+        v = jax.random.normal(key, (2**N,), dtype=jnp.float32)
+        xr = v / jnp.linalg.norm(v)
+        xi = jnp.zeros_like(xr)
+        xr, xi = pk.apply_1q_chain(xr, xi, jnp.asarray(us_np), chain_bits, N,
+                                   donate=True, interpret=interpret)
+        return jnp.sum(xr * xr + xi * xi)
+
+    t0 = time.perf_counter()
+    out = float(fused_chain(0))
+    compile_s = time.perf_counter() - t0
+    assert abs(out - 1.0) < 1e-3, out
+    t0 = time.perf_counter()
+    for r in range(REPS):
+        out = float(fused_chain(r + 1))
+    pass_dt = (time.perf_counter() - t0) / REPS
+    fused_dt = pass_dt / k
+
+    print(json.dumps({
+        "metric": "dv_per_gate_time_pallas_fused_chain", "qubits": N,
+        "chain_len": k,
+        "pass_ms": round(pass_dt * 1e3, 3),
+        "value_ms": round(fused_dt * 1e3, 4),
+        "roofline_pass_ms": round(roofline_r * 1e3, 3),
+        "x_of_roofline": round(pass_dt / roofline_r, 2),
+        "achieved_floor_pass_ms": round(2 * 2 * 4 * 2**N / (achieved_gbps * 1e9) * 1e3, 3),
+        "x_of_achieved_floor": round(pass_dt / (2 * 2 * 4 * 2**N / (achieved_gbps * 1e9)), 2),
+        "compile_s": round(compile_s, 1),
+    }), flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -20,61 +20,58 @@ from .states import State
 REPR_DIGITS = 5
 
 
+def _checked_indices(indices) -> list[int]:
+    idx = [int(i) for i in indices]
+    if any(i < 0 for i in idx):
+        raise ValueError(f"gate indices must be non-negative, got {idx}")
+    if len(set(idx)) != len(idx):
+        raise ValueError(f"gate indices must be distinct, got {idx}")
+    return idx
+
+
 class Gate:
     def __init__(self, indices: list[int], matrix: np.ndarray | None):
-        if len(set(indices)) != len(indices):
-            raise ValueError("Indices must be distinct.")
-        if min(indices) < 0:
-            raise ValueError("Non-negative index")
+        idx = _checked_indices(indices)
         if matrix is not None:
             matrix = np.asarray(matrix)
             if matrix.ndim != 2:
-                raise ValueError("Not a 2D array.")
-            if any(not qop.is_power_of_two(size) for size in matrix.shape):
-                raise ValueError("Given matrix is not a mapping between qubit spaces.")
-            if matrix.shape[1] != 2 ** len(indices):
+                raise ValueError(f"gate matrix must be 2-D, got ndim={matrix.ndim}")
+            if not all(qop.is_power_of_two(s) for s in matrix.shape):
                 raise ValueError(
-                    "Dimensions of given matrix is not compatible with number of indices."
-                )
-        self.indices = list(indices)
+                    f"gate matrix shape {matrix.shape} is not a map between "
+                    "qubit registers (dimensions must be powers of two)")
+            if matrix.shape[1] != 2 ** len(idx):
+                raise ValueError(
+                    f"gate matrix has {matrix.shape[1]} columns but acts on "
+                    f"{len(idx)} qubit(s) (needs {2 ** len(idx)})")
+        self.indices = idx
         self.matrix = matrix
 
     def __repr__(self):
-        return (
-            type(self).__name__
-            + "_"
-            + str(self.indices[0])
-            + "".join(f",{i}" for i in self.indices[1:])
-        )
+        return f"{type(self).__name__}_" + ",".join(str(i) for i in self.indices)
 
     def copy(self) -> "Gate":
-        gate = type(self).__new__(self.__class__)
-        gate.__dict__.update(self.__dict__)
+        import copy as _copy
+
+        gate = _copy.copy(self)
         gate.indices = list(self.indices)
         return gate
 
     def relabel(self, mapping: dict):
-        new_indices = []
-        for i in self.indices:
-            j = mapping.get(i)
-            if j is None:
-                raise ValueError(f"Index {i} does not map anywhere.")
-            new_indices.append(j)
-        if len(set(new_indices)) != len(new_indices):
-            raise ValueError("Indices must be distinct.")
-        if min(new_indices) < 0:
-            raise ValueError("Non-negative index")
-        self.indices = new_indices
+        """Rewrite this gate's qubit indices through `mapping` (in place)."""
+        try:
+            self.indices = _checked_indices(mapping[i] for i in self.indices)
+        except KeyError as exc:
+            raise ValueError(f"index {exc.args[0]} missing from relabel mapping")
 
     def apply(self, state: jax.Array) -> jax.Array:
         if self.matrix is None:
-            raise ValueError(f"Matrix representation not given for {self}.")
-        N = qop.num_qubits(state)
+            raise ValueError(f"{self} has no matrix representation to apply.")
         if state.ndim == 1:
             return qop.apply_unitary(state, self.matrix, tuple(self.indices))
         if state.ndim == 2:
             return qop.apply_unitary_dm(state, self.matrix, tuple(self.indices))
-        raise ValueError("State has wrong dimensions.")
+        raise ValueError(f"state must be a vector or density matrix, ndim={state.ndim}")
 
 
 class SingleQubitGate(Gate):

@@ -31,6 +31,7 @@ from ..cv.mps import MPS
 from ..dv import gates as dv_gates
 from ..dv.simulator import ClassicalControl
 from ..utils import as_key
+from ..utils.profiling import span
 from .compiled import ARCTAN2, _homodyne, _insert_bell, _syndrome_from, _two_mode_gadget
 from .gates import MB2Type
 from .transpiler import MBGKPCircuit
@@ -116,7 +117,8 @@ class BatchedGKP:
             _insert_bell(mps, idx, jnp.exp(1j * ph), self.epsilon, self.opts, key)
             return tuple(mps.tensors)
 
-        out = self._get(sig, body)(tuple(tensors), bell_phase, keys)
+        with span("op:bell"):
+            out = self._get(sig, body)(tuple(tensors), bell_phase, keys)
         return self._maybe_trim(list(out))
 
     def _op_bs(self, tensors, i, j, keys):
@@ -133,12 +135,13 @@ class BatchedGKP:
             angle = float(jnp.pi / 4) * (-1) ** (i > j)
             cap = min(self.opts.max_bond_dim, a * d, d * b)
             q = effective_power_iters(7 if cap + 10 < 0.1 * min(a * d, d * b) else 4)
-            m1, m2, _rank = streamed_pair_svd_batched(
-                t1, t2, self.qs, ("rot", angle),
-                max_bond_dim=self.opts.max_bond_dim,
-                abs_err=self.opts.abs_err, rel_err=self.opts.rel_err,
-                keys=keys, power_iters=q,
-            )
+            with span("op:bs_streamed"):
+                m1, m2, _rank = streamed_pair_svd_batched(
+                    t1, t2, self.qs, ("rot", angle),
+                    max_bond_dim=self.opts.max_bond_dim,
+                    abs_err=self.opts.abs_err, rel_err=self.opts.rel_err,
+                    keys=keys, power_iters=q,
+                )
             out = list(tensors)
             out[li], out[ri] = m1, m2
             return self._maybe_trim(out)
@@ -149,7 +152,8 @@ class BatchedGKP:
             cvg.BS(i, j).apply(mps, key=key, svd_options=self.opts)
             return tuple(mps.tensors)
 
-        out = self._get(sig, body)(tuple(tensors), keys)
+        with span("op:bs"):
+            out = self._get(sig, body)(tuple(tensors), keys)
         return self._maybe_trim(list(out))
 
     def _op_homodyne(self, tensors, idx, angles, keys, *, a_zero: bool):
@@ -160,8 +164,11 @@ class BatchedGKP:
             m = _homodyne(mps, idx, a, key, static_zero=a_zero)
             return tuple(mps.tensors), m
 
-        out_t, m = self._get(sig, body)(tuple(tensors), angles, keys)
-        return self._maybe_trim(list(out_t)), np.asarray(m)
+        with span("op:homodyne"):
+            out_t, m = self._get(sig, body)(tuple(tensors), angles, keys)
+        with span("op:homodyne_fetch"):
+            m = np.asarray(m)
+        return self._maybe_trim(list(out_t)), m
 
     @staticmethod
     def _syndrome_np(ta, tb, ma, mb):
@@ -257,7 +264,8 @@ class BatchedGKP:
         if fn is None:
             fn = jax.jit(body)  # operates on full batched tensors (no vmap)
             self._cache[sig] = fn
-        return np.asarray(fn(*tensors))
+        with span("op:rank_fetch"):
+            return np.asarray(fn(*tensors))
 
     @staticmethod
     def _trim_bucket(n: int) -> int:
@@ -292,7 +300,8 @@ class BatchedGKP:
         if fn is None:
             fn = jax.jit(body)
             self._cache[sig] = fn
-        return list(fn(*tensors))
+        with span("op:trim"):
+            return list(fn(*tensors))
 
     # ------------------------------------------------------------------
     def init_tensors(self, coeffs: np.ndarray, batch: int):
@@ -314,7 +323,8 @@ class BatchedGKP:
             return tuple(tensors)
 
         fn = self._get(sig, body)
-        return list(fn(jnp.zeros((batch,), jnp.float32)))
+        with span("init"):
+            return list(fn(jnp.zeros((batch,), jnp.float32)))
 
     def readout(self, tensors, frames: np.ndarray):
         """Syndrome-corrected logical rho for a batch: (rho_re, rho_im)."""
@@ -337,18 +347,26 @@ class BatchedGKP:
             return rho.real, rho.imag
 
         fn = self._get(sig, body)
-        return fn(tuple(tensors), jnp.asarray(frames, jnp.int32))
+        with span("readout"):
+            return fn(tuple(tensors), jnp.asarray(frames, jnp.int32))
 
     # ------------------------------------------------------------------
     def run_circuit(self, circuit: MBGKPCircuit, coeffs: np.ndarray, batch: int,
-                    rng_seed=0):
+                    rng_seed=0, data_sharding=None):
         """Run `batch` trajectories of a transpiled circuit.
+
+        ``data_sharding`` (a ``jax.sharding.Sharding`` over the batch axis)
+        places the initial tensors on a device mesh; every op executor then
+        propagates the batch sharding (GSPMD), so trajectories run
+        data-parallel across the mesh while the Pauli frame stays on host.
 
         Returns (tensors [batched], frames (batch, N, 2) numpy).
         """
         N = circuit._N
         key = as_key(rng_seed)
         tensors = self.init_tensors(np.asarray(coeffs, np.float32), batch)
+        if data_sharding is not None:
+            tensors = [jax.device_put(t, data_sharding) for t in tensors]
 
         frame = np.zeros((batch, N, 2), dtype=np.int32)
         prev_synd = np.zeros((batch, N, 2), dtype=np.int32)

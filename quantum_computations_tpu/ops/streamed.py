@@ -397,23 +397,29 @@ def _streamed_driver(t1, t2, qs, warp_params, *, max_bond_dim, abs_err,
            ac, bc, int(power_iters), tuple(f_pre), tuple(f_post))
     iterate, assemble = _get_programs(sig)
 
+    from ..utils.profiling import span as _span
+
     rdtype = np.float32 if t1.dtype == jnp.complex64 else np.float64
     qs = np.asarray(qs, dtype=rdtype)
-    X, Q, Gr = iterate(t1, t2, qs, key)
-    Grn = np.asarray(Gr)
+    with _span("streamed:iterate"):
+        X, Q, Gr = iterate(t1, t2, qs, key)
+    with _span("streamed:gram_fetch"):
+        Grn = np.asarray(Gr)
 
     mbd = int(max_bond_dim)
-    if batched:
-        facs = [_host_factor(Grn[i], cap, mbd, abs_err, rel_err)
-                for i in range(batch)]
-        ub = np.stack([f[0] for f in facs]).astype(rdtype)
-        sqm = np.stack([f[1] for f in facs]).astype(rdtype)
-        ism = np.stack([f[2] for f in facs]).astype(rdtype)
-        rank = np.asarray([f[3] for f in facs], dtype=np.int32)
-    else:
-        ub, sqm, ism, rank = _host_factor(Grn, cap, mbd, abs_err, rel_err)
-        ub, sqm, ism = (x.astype(rdtype) for x in (ub, sqm, ism))
-    m1, m2 = assemble(X, Q, qs, ub, sqm, ism)
+    with _span("streamed:host_eigh"):
+        if batched:
+            facs = [_host_factor(Grn[i], cap, mbd, abs_err, rel_err)
+                    for i in range(batch)]
+            ub = np.stack([f[0] for f in facs]).astype(rdtype)
+            sqm = np.stack([f[1] for f in facs]).astype(rdtype)
+            ism = np.stack([f[2] for f in facs]).astype(rdtype)
+            rank = np.asarray([f[3] for f in facs], dtype=np.int32)
+        else:
+            ub, sqm, ism, rank = _host_factor(Grn, cap, mbd, abs_err, rel_err)
+            ub, sqm, ism = (x.astype(rdtype) for x in (ub, sqm, ism))
+    with _span("streamed:assemble"):
+        m1, m2 = assemble(X, Q, qs, ub, sqm, ism)
     return m1, m2, rank
 
 

@@ -50,7 +50,17 @@ def prepare_output(path: str, overwrite: bool = False):
 
 
 def config_cli(config_cls, argv=None):
-    """Build an argparse CLI from a dataclass config and parse argv."""
+    """Build an argparse CLI from a dataclass config and parse argv.
+
+    Also turns on INFO logging: this is only called from driver
+    ``__main__`` blocks, where per-cell progress lines are the entire
+    user-visible output of an hours-long sweep.
+    """
+    import logging
+
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(name)s: %(message)s", datefmt="%H:%M:%S")
     parser = argparse.ArgumentParser(description=config_cls.__doc__)
     for f in dataclasses.fields(config_cls):
         arg = "--" + f.name.replace("_", "-")

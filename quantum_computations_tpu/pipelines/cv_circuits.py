@@ -1,7 +1,12 @@
-"""CV circuit snippets.
+"""Small fixed CV gate-list circuits used by the GKP error-correction
+experiments.
 
-Parity with reference ``impact_.../cv_circuits.py``: qunaught / quadrature /
-Steane error-correction gate lists and Bell-preparation circuits (:5-45).
+These are standard textbook constructions — the two-ancilla qunaught
+(tesseract) EC gadget, single-quadrature and Steane-style EC, and the two
+GKP Bell-pair preparations — expressed against this framework's CV gate
+classes. The gate sequences themselves are the physics content and match
+the reference definitions (``impact_.../cv_circuits.py:5-45``) so that the
+EC-validation pipelines reproduce the committed experiments.
 """
 
 from __future__ import annotations
@@ -12,6 +17,9 @@ from ..gkp.gates import MBCZ
 
 
 def qunaught_error_correction(eps: float):
+    """Two qunaught ancillae + two beamsplitters, then a q and a p readout
+    on the first ancilla; the displacement correction implied by the two
+    homodyne outcomes is applied virtually by whoever runs the circuit."""
     return [
         Insert(1, State.QUNAUGHT, gkp_epsilon=eps),
         Insert(2, State.QUNAUGHT, gkp_epsilon=eps),
@@ -19,7 +27,6 @@ def qunaught_error_correction(eps: float):
         BS(1, 0),
         Mq(0),
         Mp(0),
-        # Syndrome correction tracked virtually by the caller
     ]
 
 

@@ -51,3 +51,59 @@ def maybe_trace(trace_dir: str | None = None):
 def annotate(label: str):
     """Named trace span (host scope) for a gate/gadget/stage."""
     return jax.profiler.TraceAnnotation(label)
+
+
+class WallClock:
+    """Host wall-clock attribution for host-driven engines.
+
+    The op-granularity batched engine (:mod:`..gkp.batched`) is a host loop
+    that dispatches one jitted program per CV op and SYNCS at measurement /
+    rank fetches — so host wall time per span is a faithful attribution of
+    where a trajectory's time goes (dispatch+device for async spans, true
+    stall time for fetch spans), without needing a device trace through the
+    remote tunnel. Enable with ``QCT_TIMING=1`` or ``WallClock.enable()``;
+    read ``WallClock.table()``.
+    """
+
+    enabled = bool(os.environ.get("QCT_TIMING"))
+    _acc: dict[str, list] = {}
+
+    @classmethod
+    def enable(cls, on: bool = True):
+        cls.enabled = on
+
+    @classmethod
+    def reset(cls):
+        cls._acc.clear()
+
+    @classmethod
+    @contextlib.contextmanager
+    def span(cls, label: str):
+        if not cls.enabled:
+            yield
+            return
+        import time
+
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            slot = cls._acc.setdefault(label, [0.0, 0])
+            slot[0] += time.perf_counter() - t0
+            slot[1] += 1
+
+    @classmethod
+    def table(cls) -> dict[str, dict]:
+        """{label: {seconds, calls, fraction}} sorted by time desc."""
+        total = sum(v[0] for v in cls._acc.values()) or 1.0
+        rows = sorted(cls._acc.items(), key=lambda kv: -kv[1][0])
+        return {k: {"seconds": round(v[0], 3), "calls": v[1],
+                    "fraction": round(v[0] / total, 4)} for k, v in rows}
+
+
+def span(label: str):
+    """Combined profiler annotation + wall-clock span."""
+    ctx = contextlib.ExitStack()
+    ctx.enter_context(annotate(label))
+    ctx.enter_context(WallClock.span(label))
+    return ctx
