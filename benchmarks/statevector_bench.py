@@ -29,6 +29,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 N = int(os.environ.get("QCT_SV_QUBITS", 28))
 REPS = int(os.environ.get("QCT_SV_REPS", 3))
 HBM_GBPS = float(os.environ.get("QCT_SV_HBM_GBPS", 819.0))  # v5e
+# comma list of paths to run: calib,xla,pallas,fused. At N>=30 the
+# non-donating paths need >16 GB (8.6 GB state, separate in+out buffers),
+# so only the donated fused chain fits one chip — run PATHS=calib,fused.
+PATHS = set(os.environ.get("QCT_SV_PATHS", "calib,xla,pallas,fused").split(","))
 
 
 def main():
@@ -67,6 +71,17 @@ def main():
         "achieved_GBps": round(achieved_gbps, 1),
     }), flush=True)
 
+    if "xla" in PATHS:
+        _run_xla(jax, jnp, qop, targets, n_gates)
+    if "pallas" in PATHS:
+        _run_pallas(jax, jnp, qop, pk, targets, n_gates)
+    if "fused" in PATHS:
+        _run_fused(jax, jnp, qop, pk, n_gates, achieved_gbps)
+
+
+def _run_xla(jax, jnp, qop, targets, n_gates):
+    H = np.asarray(qop.H)
+
     # ---- XLA complex path (complex stays on device) -----------------------
     @jax.jit
     def xla_chain(seed):
@@ -96,6 +111,10 @@ def main():
         "x_of_roofline": round(xla_dt / roofline_c, 2),
         "compile_s": round(compile_s, 1),
     }), flush=True)
+
+
+def _run_pallas(jax, jnp, qop, pk, targets, n_gates):
+    H = np.asarray(qop.H)
 
     # ---- Pallas split-real path ------------------------------------------
     interpret = jax.default_backend() == "cpu"
@@ -129,6 +148,12 @@ def main():
         "x_of_roofline": round(pl_dt / roofline_r, 2),
         "compile_s": round(compile_s, 1),
     }), flush=True)
+
+
+def _run_fused(jax, jnp, qop, pk, n_gates, achieved_gbps):
+    H = np.asarray(qop.H)
+    interpret = jax.default_backend() == "cpu"
+    roofline_r = 2 * 2 * 4 * 2**N / (HBM_GBPS * 1e9)
 
     # ---- Pallas fused-chain path (k gates in ONE HBM pass) ----------------
     # The chain kernel reads and writes every amplitude once for the whole
