@@ -1,21 +1,30 @@
 #!/usr/bin/env python
 """Benchmark: batched GKP randomised-benchmarking trajectory throughput.
 
-Measures trajectories/sec on one chip with the fully-jitted vmapped engine
-(:mod:`quantum_computations_tpu.gkp.compiled`) on a fixed 2-qubit MB-Clifford
-circuit, and compares against the reference-architecture baseline: the eager
-host-orchestrated simulator (dynamic bond ranks, one trajectory at a time —
-architecturally equivalent to the reference's NumPy path, which runs one
-trajectory per process; reference has no published numbers, BASELINE.md).
+Two modes (QCT_BENCH_MODE):
+
+- ``production`` (default): the headline — trajectories/sec at the
+  REFERENCE'S PRODUCTION PARAMETERS (chi=100, grid 1000, a depth-8 random
+  2-qubit RB circuit, the same workload as ``impact_.../
+  randomised_benchmarking.py:78-123``) through the rank-adaptive
+  op-granularity engine with streamed two-mode gates. ``vs_baseline``
+  compares against the eager host-orchestrated CPU engine measured at the
+  SAME parameters (committed measurement in
+  ``benchmarks/cpu_production_baseline.json``; re-measure with
+  QCT_BENCH_BASELINE=subprocess — ~20+ min of single-core CPU).
+
+- ``toy``: the round-1/2 micro-bench (chi=8, grid 512, fixed 6-gate
+  circuit) with an in-run subprocess CPU baseline at the same toy
+  parameters.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Environment knobs:
-  QCT_BENCH_BATCH  (default 8)   trajectories per vmapped call
-  QCT_BENCH_REPS   (default 3)   timed calls
-  QCT_BENCH_GRID   (default 512) position-grid points
-  QCT_BENCH_CHI    (default 8)   max bond dimension
-  QCT_BENCH_BASELINE (default "subprocess") "subprocess" | "skip"
+  QCT_BENCH_MODE   (default "production") "production" | "toy"
+  QCT_BENCH_BATCH  (default 16 prod / 8 toy) trajectories per call
+  QCT_BENCH_REPS   (default 2 prod / 3 toy)  timed calls
+  QCT_BENCH_GRID / QCT_BENCH_CHI             grid points / max bond dim
+  QCT_BENCH_BASELINE "committed" (prod) | "subprocess" | "skip"
 """
 
 from __future__ import annotations
@@ -28,12 +37,18 @@ import time
 
 import numpy as np
 
-GRID = int(os.environ.get("QCT_BENCH_GRID", 512))
-CHI = int(os.environ.get("QCT_BENCH_CHI", 8))
-BATCH = int(os.environ.get("QCT_BENCH_BATCH", 8))
-REPS = int(os.environ.get("QCT_BENCH_REPS", 3))
+MODE = os.environ.get("QCT_BENCH_MODE", "production")
+_PROD = MODE == "production"
+GRID = int(os.environ.get("QCT_BENCH_GRID", 1000 if _PROD else 512))
+CHI = int(os.environ.get("QCT_BENCH_CHI", 100 if _PROD else 8))
+BATCH = int(os.environ.get("QCT_BENCH_BATCH", 16 if _PROD else 8))
+REPS = int(os.environ.get("QCT_BENCH_REPS", 2 if _PROD else 3))
+DEPTH = int(os.environ.get("QCT_BENCH_DEPTH", 8))
+DB = float(os.environ.get("QCT_BENCH_DB", 10.0))
 SVD_METHOD = os.environ.get("QCT_BENCH_SVD", "auto")
 ENGINE = os.environ.get("QCT_BENCH_ENGINE", "batched-adaptive")  # or "compiled"
+_BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "benchmarks", "cpu_production_baseline.json")
 
 # Fixed representative RB circuit (2 qubits, Clifford-only, incl. a two-mode gadget).
 _BENCH_GATES = "H0 P0 CZ01 H1 P1 SWAP01"
@@ -60,6 +75,74 @@ def _build_prog():
     svd = SVDOptions(max_bond_dim=CHI, rel_err=1e-2, svd_method=SVD_METHOD)
     prog = CompiledGKP(circ, qs, eps, svd)
     return prog, circ, (gates, qs, eps, svd)
+
+
+def _production_circ():
+    """Fixed-seed depth-8 random 2-qubit RB circuit at production parameters.
+
+    Same generator and shapes as the production sweep
+    (pipelines/rb_batched.py), so the persistent compile cache is shared
+    with it; seed pinned so every bench run times the identical circuit.
+    """
+    from quantum_computations_tpu.gkp import db2eps
+    from quantum_computations_tpu.pipelines.rb import random_circ
+
+    rng = np.random.default_rng(123)
+    dv_circ, gkp_circ = random_circ(2, DEPTH, rng)
+    qs = np.linspace(-20, 20, GRID)
+    eps = float(db2eps(DB))
+    svd = {"rel_err": 1e-2, "max_bond_dim": CHI}
+    return gkp_circ, qs, eps, svd
+
+
+def run_tpu_production() -> float:
+    """Trajectories/sec of the op-granularity rank-adaptive engine (streamed
+    two-mode gates) on the production RB workload."""
+    import jax
+    from quantum_computations_tpu.dv import State as DVState
+    from quantum_computations_tpu.gkp.batched import BatchedGKP
+    from quantum_computations_tpu.gkp.compiled import logical_coeffs
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    gkp_circ, qs, eps, svd = _production_circ()
+    runner = BatchedGKP(qs, eps, svd, adaptive=True, granularity="op")
+    coeffs = logical_coeffs([DVState.ZERO, DVState.ZERO])
+
+    def run_and_check(seed):
+        tensors, frames = runner.run_circuit(gkp_circ, coeffs, BATCH, rng_seed=seed)
+        rho_re, _ = runner.readout(tensors, frames)
+        traces = np.asarray(rho_re).trace(axis1=1, axis2=2)
+        if not np.all(np.isfinite(traces)) or not np.all(traces > 0):
+            raise RuntimeError(f"bench output invalid: traces={traces}")
+
+    run_and_check(0)  # compile / cache-load + warm + validate
+    t0 = time.perf_counter()
+    for r in range(REPS):
+        run_and_check(r + 1)
+    dt = time.perf_counter() - t0
+    return REPS * BATCH / dt
+
+
+def run_baseline_production_inline(n_traj: int = 1) -> float:
+    """Seconds/trajectory of the eager host-orchestrated engine on the SAME
+    production workload (call inside a CPU-pinned subprocess; ~20+ min)."""
+    from quantum_computations_tpu.config import SVDOptions
+    from quantum_computations_tpu.dv import State as DVState
+    from quantum_computations_tpu.gkp import Simulator as GKPSimulator, parse_to_mps
+
+    gkp_circ, qs, eps, svd = _production_circ()
+    svd_opts = SVDOptions(max_bond_dim=CHI, rel_err=1e-2, svd_method=SVD_METHOD)
+    init = parse_to_mps([DVState.ZERO, DVState.ZERO], eps, qs)
+    sim = GKPSimulator(gkp_circ, eps, rng_seed=0, svd_options=svd_opts)
+    sim.run(init.copy())  # warm the compile caches
+    t0 = time.perf_counter()
+    for s in range(n_traj):
+        sim = GKPSimulator(gkp_circ, eps, rng_seed=s + 1, svd_options=svd_opts)
+        sim.run(init.copy())
+    return (time.perf_counter() - t0) / n_traj
 
 
 def run_tpu() -> float:
@@ -137,18 +220,20 @@ def run_baseline_inline(n_traj: int = 2) -> float:
     return dt / n_traj
 
 
-def run_baseline_subprocess() -> float | None:
+def run_baseline_subprocess(production: bool = False) -> float | None:
     """CPU eager baseline in a clean subprocess (axon registration disabled)."""
     env = dict(os.environ)
     env["PALLAS_AXON_POOL_IPS"] = ""
     env["JAX_PLATFORMS"] = "cpu"
+    fn = "run_baseline_production_inline" if production else "run_baseline_inline"
     code = (
-        "import bench, json; print(json.dumps({'sec_per_traj': bench.run_baseline_inline()}))"
+        f"import bench, json; print(json.dumps({{'sec_per_traj': bench.{fn}()}}))"
     )
     try:
         out = subprocess.run(
             [sys.executable, "-c", code], env=env, capture_output=True, text=True,
-            timeout=1200, cwd=os.path.dirname(os.path.abspath(__file__)),
+            timeout=7200 if production else 1200,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
         )
         line = out.stdout.strip().splitlines()[-1]
         return float(json.loads(line)["sec_per_traj"])
@@ -157,18 +242,46 @@ def run_baseline_subprocess() -> float | None:
         return None
 
 
+def _production_baseline_sec_per_traj(mode: str) -> float | None:
+    """Committed same-parameter CPU measurement, or a fresh subprocess run."""
+    if mode == "subprocess":
+        sec = run_baseline_subprocess(production=True)
+        if sec:
+            json.dump({"sec_per_traj": round(sec, 1), "grid": GRID, "chi": CHI,
+                       "depth": DEPTH, "db": DB, "engine": "eager CPU x64",
+                       "n_traj": 1}, open(_BASELINE_FILE, "w"), indent=1)
+        return sec
+    try:
+        entry = json.load(open(_BASELINE_FILE))
+        if (entry["grid"], entry["chi"], entry["depth"]) == (GRID, CHI, DEPTH):
+            return float(entry["sec_per_traj"])
+        print(f"# committed baseline is for {entry} — not comparable",
+              file=sys.stderr)
+    except Exception as exc:
+        print(f"# no committed production baseline ({exc!r}); "
+              "run QCT_BENCH_BASELINE=subprocess once", file=sys.stderr)
+    return None
+
+
 def main():
-    tpu_traj_per_sec = run_tpu()
-    vs_baseline = 1.0
-    if os.environ.get("QCT_BENCH_BASELINE", "subprocess") != "skip":
-        sec_per_traj = run_baseline_subprocess()
-        if sec_per_traj:
-            vs_baseline = tpu_traj_per_sec * sec_per_traj
+    baseline_mode = os.environ.get(
+        "QCT_BENCH_BASELINE", "committed" if _PROD else "subprocess")
+    if _PROD:
+        traj_per_sec = run_tpu_production()
+        sec_per_traj = (None if baseline_mode == "skip"
+                        else _production_baseline_sec_per_traj(baseline_mode))
+        metric = "gkp_rb_production_trajectories_per_sec"
+    else:
+        traj_per_sec = run_tpu()
+        sec_per_traj = (None if baseline_mode == "skip"
+                        else run_baseline_subprocess())
+        metric = "gkp_rb_trajectories_per_sec"
+    vs_baseline = round(traj_per_sec * sec_per_traj, 4) if sec_per_traj else 1.0
     print(json.dumps({
-        "metric": "gkp_rb_trajectories_per_sec",
-        "value": round(tpu_traj_per_sec, 4),
+        "metric": metric,
+        "value": round(traj_per_sec, 4),
         "unit": "traj/s/chip",
-        "vs_baseline": round(vs_baseline, 4),
+        "vs_baseline": vs_baseline,
     }))
 
 

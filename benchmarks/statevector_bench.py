@@ -52,9 +52,13 @@ def main():
     n_gates = len(targets)
 
     # ---- achievable-bandwidth calibration (pure elementwise pass) ---------
+    # Capped at 2^28 elements: at N=30 the PRNG + ping-pong buffers exceed
+    # 16 GB HBM, and achieved bandwidth is size-independent at these sizes.
+    cal_n = min(N, 28)
+
     @jax.jit
     def copy_chain(seed):
-        v = jax.random.normal(jax.random.PRNGKey(seed), (2**N,), dtype=jnp.float32)
+        v = jax.random.normal(jax.random.PRNGKey(seed), (2**cal_n,), dtype=jnp.float32)
         for _ in range(8):
             v = v * 1.0000001 + 0.0
         return jnp.sum(v[:128])
@@ -64,9 +68,9 @@ def main():
     for r in range(REPS):
         float(copy_chain(r + 1))
     per_pass = (time.perf_counter() - t0) / (REPS * 8)
-    achieved_gbps = 2 * 4 * 2**N / per_pass / 1e9
+    achieved_gbps = 2 * 4 * 2**cal_n / per_pass / 1e9
     print(json.dumps({
-        "metric": "hbm_achieved", "qubits": N,
+        "metric": "hbm_achieved", "qubits": cal_n,
         "elementwise_pass_ms": round(per_pass * 1e3, 3),
         "achieved_GBps": round(achieved_gbps, 1),
     }), flush=True)
@@ -167,8 +171,11 @@ def _run_fused(jax, jnp, qop, pk, n_gates, achieved_gbps):
 
     @jax.jit
     def fused_chain(seed):
-        key = jax.random.PRNGKey(seed)
-        v = jax.random.normal(key, (2**N,), dtype=jnp.float32)
+        # iota+sin init instead of PRNG: fuses to one generator pass with no
+        # random-bits scratch buffer, so the N=30 state (2 x 4.3 GB planes,
+        # outputs donated onto them) fits the 16 GB chip.
+        idx = jax.lax.iota(jnp.float32, 2**N)
+        v = jnp.sin(idx * (0.1 + 1e-4 * seed)) + 0.5
         xr = v / jnp.linalg.norm(v)
         xi = jnp.zeros_like(xr)
         xr, xi = pk.apply_1q_chain(xr, xi, jnp.asarray(us_np), chain_bits, N,

@@ -202,7 +202,7 @@ def apply_1q_xla(state_re, state_im, u, qubit: int, num_qubits: int):
 _LANE_MIN_BITS = 7  # minor-most mixing stride >= 128 lanes
 
 
-def fusable_bits(num_qubits: int, c_bits: int = 11, block_rows: int = 256):
+def fusable_bits(num_qubits: int, c_bits: int = 11, block_rows: int = 128):
     """Amplitude-bit positions a (c_bits, block_rows) layout can fuse."""
     hi = min(num_qubits, c_bits + int(np.log2(block_rows)))
     return tuple(range(_LANE_MIN_BITS, min(c_bits, num_qubits))) + \
@@ -248,7 +248,7 @@ def _fused_chain_kernel(bits, c_bits):
                                    "block_rows", "donate", "interpret"))
 def apply_1q_chain(state_re: jax.Array, state_im: jax.Array, us: jax.Array,
                    bits: tuple, num_qubits: int, *, c_bits: int = 11,
-                   block_rows: int = 256, donate: bool = False,
+                   block_rows: int = 128, donate: bool = False,
                    interpret: bool = False):
     """Apply a chain of single-qubit unitaries in ONE pass over the state.
 
