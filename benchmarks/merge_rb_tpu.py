@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Merge the per-dB production RB sweeps into one dataset and score parity.
+
+The TPU queue writes one ``gkp_rb_tpu_<db>.dat`` (+ ``.meta.json`` sidecar)
+per dB (benchmarks/run_tpu_queue.sh). This merges them into
+``benchmarks/gkp_rb_tpu.dat`` (the reference ``gkp_rb.dat`` schema:
+{db, depth, fidelity, purity} rows — producer
+``impact_.../randomised_benchmarking.py:78-123``), fits the RB decay per dB
+with :func:`pipelines.analysis.rb_fit`, and compares every cell mean
+against the reference's committed dataset with a z-score
+(SE = sqrt(se_ours^2 + se_ref^2)). Prints a JSON report and writes it to
+``benchmarks/gkp_rb_tpu_summary.json``.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+from collections import defaultdict
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+B = os.path.dirname(os.path.abspath(__file__))
+REF_DAT = ("/root/reference/impact_of_finite_squeezing_on_near-term_quantum_"
+           "computations_using_gkp_qubits/data/gkp_rb.dat")
+
+
+def cell_stats(samples):
+    by = defaultdict(list)
+    for s in samples:
+        by[(round(float(s["db"]), 3), int(s["depth"]))].append(float(s["fidelity"]))
+    return {k: (float(np.mean(v)), float(np.std(v) / np.sqrt(len(v))), len(v))
+            for k, v in sorted(by.items())}
+
+
+def main():
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    from quantum_computations_tpu.pipelines.analysis import rb_fit
+
+    data, meta = [], []
+    for path in sorted(glob.glob(os.path.join(B, "gkp_rb_tpu_*.dat"))):
+        if path.endswith(".meta.json"):
+            continue
+        data += json.load(open(path))
+        mpath = path + ".meta.json"
+        if os.path.exists(mpath):
+            meta += json.load(open(mpath))
+    if not data:
+        print("no gkp_rb_tpu_*.dat files yet", file=sys.stderr)
+        return 1
+
+    json.dump(data, open(os.path.join(B, "gkp_rb_tpu.dat"), "w"))
+    ours = cell_stats(data)
+    ref = cell_stats(json.load(open(REF_DAT)))
+
+    cells = []
+    for key, (mean, se, n) in ours.items():
+        row = {"db": key[0], "depth": key[1], "mean": round(mean, 4),
+               "se": round(se, 4), "n": n}
+        if key in ref:
+            rmean, rse, rn = ref[key]
+            z = (mean - rmean) / max(np.hypot(se, rse), 1e-9)
+            row.update({"ref_mean": round(rmean, 4), "ref_n": rn,
+                        "z": round(float(z), 2)})
+        cells.append(row)
+
+    attempted = sum(m.get("attempted", 0) for m in meta)
+    dropped = sum(m.get("dropped", 0) for m in meta)
+    fit = rb_fit(data)
+    report = {
+        "metric": "gkp_rb_tpu_production_dataset",
+        "samples": len(data),
+        "attempted": attempted, "dropped": dropped,
+        "drop_rate": round(dropped / max(1, attempted), 4),
+        "sec_per_traj": {str(m["db"]): m["sec_per_traj"] for m in meta
+                         if m.get("depth") == 8},
+        "cells": cells,
+        "within_1se": sum(1 for c in cells if "z" in c and abs(c["z"]) <= 1),
+        "within_2se": sum(1 for c in cells if "z" in c and abs(c["z"]) <= 2),
+        "compared": sum(1 for c in cells if "z" in c),
+        "decay_fit": {str(db): {"a": round(v["a"], 4), "p": round(v["p"], 4)}
+                      for db, v in fit.items()},
+    }
+    json.dump(report, open(os.path.join(B, "gkp_rb_tpu_summary.json"), "w"),
+              indent=1)
+    print(json.dumps(report, indent=1))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -33,6 +33,7 @@ step() { # step <name> <timeout_s> <cmd...>
 step sv28 5400 env QCT_SV_QUBITS=28 python $B/statevector_bench.py
 step sv30 3600 env QCT_SV_QUBITS=30 QCT_SV_PATHS=calib,fused \
     python $B/statevector_bench.py
+step eigh-midrange 3600 python $B/eigh_midrange_check.py
 step grover 7200 python -m quantum_computations_tpu.pipelines.grover_batched \
     --data-file $B/gkp_grover_tpu.dat --overwrite
 for db in 5.833 10.0 7.5 6.667; do
