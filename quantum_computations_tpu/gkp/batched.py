@@ -65,6 +65,17 @@ class BatchedGKP:
         self.granularity = granularity
         self._cache: dict = {}
 
+    def _eps_arr(self, batch: int) -> np.ndarray:
+        """Per-trajectory epsilon as a TRACED executor argument.
+
+        epsilon enters compiled programs as data, not as a baked constant,
+        so one compiled executor set serves every dB value of a sweep (the
+        round-3 attribution showed per-dB recompiles costing ~6 min each).
+        float64 here: under x64 (tests) precision is preserved; otherwise
+        JAX casts to f32 at the jit boundary.
+        """
+        return np.full((batch,), self.epsilon, np.float64)
+
     # ------------------------------------------------------------------
     def _shapes(self, tensors) -> tuple:
         return tuple(t.shape[1:] for t in tensors)  # strip batch axis
@@ -90,11 +101,11 @@ class BatchedGKP:
                                     bell_phase, keys, a1=a1, a1_zero=a1_zero)
         sig = ("single", idx, a1, a1_zero, self._shapes(tensors))
 
-        def body(tensor_tuple, m_a2, s_a1, s_a2, b_phase, key):
+        def body(tensor_tuple, m_a2, s_a1, s_a2, b_phase, e, key):
             mps = MPS(self.qs, list(tensor_tuple))
             coeff = jnp.exp(1j * b_phase)
             k1, k2, k3, k4 = jax.random.split(key, 4)
-            _insert_bell(mps, idx + 1, coeff, self.epsilon, self.opts, k1)
+            _insert_bell(mps, idx + 1, coeff, e, self.opts, k1)
             cvg.BS(idx, idx + 1).apply(mps, key=k2, svd_options=self.opts)
             m_first = _homodyne(mps, idx, a1, k3, static_zero=a1_zero)
             m_second = _homodyne(mps, idx, m_a2, k4)
@@ -102,7 +113,8 @@ class BatchedGKP:
             return tuple(mps.tensors), jnp.stack([s[0], s[1]])
 
         fn = self._get(sig, body)
-        out_tensors, synd = fn(tuple(tensors), meas_a2, syn_a1, syn_a2, bell_phase, keys)
+        out_tensors, synd = fn(tuple(tensors), meas_a2, syn_a1, syn_a2, bell_phase,
+                               self._eps_arr(tensors[0].shape[0]), keys)
         return list(out_tensors), synd
 
     # -- op-level executors (granularity="op") --------------------------
@@ -112,13 +124,14 @@ class BatchedGKP:
     def _op_insert_bell(self, tensors, idx, bell_phase, keys):
         sig = ("op_bell", idx, self._shapes(tensors))
 
-        def body(tt, ph, key):
+        def body(tt, ph, e, key):
             mps = MPS(self.qs, list(tt))
-            _insert_bell(mps, idx, jnp.exp(1j * ph), self.epsilon, self.opts, key)
+            _insert_bell(mps, idx, jnp.exp(1j * ph), e, self.opts, key)
             return tuple(mps.tensors)
 
         with span("op:bell"):
-            out = self._get(sig, body)(tuple(tensors), bell_phase, keys)
+            out = self._get(sig, body)(tuple(tensors), bell_phase,
+                                       self._eps_arr(tensors[0].shape[0]), keys)
         return self._maybe_trim(list(out))
 
     def _op_bs(self, tensors, i, j, keys):
@@ -233,15 +246,15 @@ class BatchedGKP:
             return self._two_ops(tensors, idx, mb2type, keys)
         sig = ("two", idx, mb2type, self._shapes(tensors))
 
-        def body(tensor_tuple, key):
+        def body(tensor_tuple, e, key):
             mps = MPS(self.qs, list(tensor_tuple))
-            (s1, s2) = _two_mode_gadget(mps, idx, mb2type, False, self.epsilon, self.opts, key)
+            (s1, s2) = _two_mode_gadget(mps, idx, mb2type, False, e, self.opts, key)
             return tuple(mps.tensors), jnp.stack([
                 jnp.stack([s1[0], s1[1]]), jnp.stack([s2[0], s2[1]]),
             ])
 
         fn = self._get(sig, body)
-        out_tensors, synd = fn(tuple(tensors), keys)
+        out_tensors, synd = fn(tuple(tensors), self._eps_arr(tensors[0].shape[0]), keys)
         return list(out_tensors), synd
 
     # ------------------------------------------------------------------
@@ -310,24 +323,36 @@ class BatchedGKP:
 
         sig = ("init", coeffs.shape, batch)
 
-        def body(_):
+        def body(c, e):
+            # coeffs and epsilon are TRACED (not baked): the executor is
+            # reusable across dB values and initial logical states.
             qs = jnp.asarray(self.qs)
             tensors = []
             for i in range(coeffs.shape[0]):
-                a = coeffs[i, 0, 0] + 1j * coeffs[i, 0, 1]
-                b = coeffs[i, 1, 0] + 1j * coeffs[i, 1, 1]
-                psi = CVState.GKP_ZERO.eval(qs, self.epsilon) * a \
-                    + CVState.GKP_ONE.eval(qs, self.epsilon) * b
+                a = c[i, 0, 0] + 1j * c[i, 0, 1]
+                b = c[i, 1, 0] + 1j * c[i, 1, 1]
+                psi = CVState.GKP_ZERO.eval(qs, e) * a \
+                    + CVState.GKP_ONE.eval(qs, e) * b
                 norm = jnp.sqrt(jnp.sum(jnp.abs(psi) ** 2) * (qs[1] - qs[0]))
                 tensors.append((psi / norm).reshape(1, -1, 1))
             return tuple(tensors)
 
         fn = self._get(sig, body)
+        c_b = np.broadcast_to(np.asarray(coeffs, np.float64),
+                              (batch,) + tuple(coeffs.shape))
         with span("init"):
-            return list(fn(jnp.zeros((batch,), jnp.float32)))
+            return list(fn(c_b, self._eps_arr(batch)))
 
     def readout(self, tensors, frames: np.ndarray):
-        """Syndrome-corrected logical rho for a batch: (rho_re, rho_im)."""
+        """Syndrome-corrected logical rho for a batch: (rho_re, rho_im).
+
+        The rho is NOT trace-normalised — reference convention
+        (``impact_.../grover.py:71-80`` scores on ``full_logical_density_mps``
+        with ``normalised=False``, ``gkp_simulator/utils.py:93``): truncation-
+        discarded weight shows up as trace deficit and counts as infidelity.
+        Round 3 found normalising here biased RB fidelity ~+19% over the
+        committed reference dataset at the (5.83 dB, depth 8) anchor.
+        """
         N = int(np.log2(2) * 0 + len(frames[0]))  # frames (n, N, 2)
         sig = ("readout", self._shapes(tensors))
 
@@ -343,7 +368,6 @@ class BatchedGKP:
                 m = jnp.where(frame[i, 0] == 1, X @ m, m)
                 corr = jnp.kron(corr, m)
             rho = corr @ rho @ corr.conj().T
-            rho = rho / jnp.trace(rho)
             return rho.real, rho.imag
 
         fn = self._get(sig, body)

@@ -306,7 +306,8 @@ class CompiledGKP:
             m = jnp.where(frame[i, 0] == 1, X @ m, m)
             corr = jnp.kron(corr, m)
         rho = corr @ rho @ corr.conj().T
-        rho = rho / jnp.trace(rho)
+        # raw (trace-unnormalised) rho: reference convention, see
+        # BatchedGKP.readout docstring / reference grover.py:71-80
         return frame, rho.real, rho.imag
 
     def batched_readout(self, init_coeffs, n: int, rng_seed=None):

@@ -65,9 +65,9 @@ def grover_rho(entry: dict) -> np.ndarray:
 
 
 def grover_success(entry: dict, tagged: list[int]) -> float:
-    """Success probability = sum of tagged diagonal entries of normalised rho."""
+    """Success probability = sum of tagged RAW diagonal entries (reference
+    plot_data.ipynb cell 11 applies no trace normalisation)."""
     rho = grover_rho(entry)
-    rho = rho / np.trace(rho)
     return float(np.sum(np.diag(rho).real[list(tagged)]))
 
 

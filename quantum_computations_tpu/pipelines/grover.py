@@ -67,8 +67,8 @@ def run_simulation(simulator: GKPSimulator, init: MPS) -> np.ndarray:
 
 
 def success_probability(rho: np.ndarray, tagged: list[int]) -> float:
-    """Grover success metric (reference plot_data.ipynb cell 11)."""
-    rho = rho / np.trace(rho)
+    """Grover success metric (reference plot_data.ipynb cell 11: RAW
+    diagonal of the stored rho — the notebook does not trace-normalise)."""
     return float(np.sum(np.diag(rho).real[list(tagged)]))
 
 

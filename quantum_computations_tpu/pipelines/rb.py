@@ -66,7 +66,7 @@ def sample_depth(db: float, depth: int, num_samples: int, rng_seed,
         sim = GKPSimulator(gkp_circ, epsilon, rng_seed=int(rng.integers(2**31)),
                            svd_options=svd_options)
         rho = run_simulation(sim, init_mps.copy())
-        rho = rho / np.trace(rho)
+        # raw rho: reference scores on the unnormalised logical density
         success = np.asarray(DVSimulator(dv_circ).run(init_dv))
         fidelity = float(qop.fidelity(jnp.asarray(rho), jnp.asarray(success)))
         purity = float(np.trace(rho @ rho).real)

@@ -92,7 +92,9 @@ def sample_depth_batched(runner: BatchedGKP, db: float, depth: int,
                 stats["dropped"] += 1
                 logger.warning("dropping non-finite trajectory (trace=%s)", tr)
                 continue
-            rho = rho / tr
+            # RAW rho (reference convention): truncation-discarded weight
+            # counts as infidelity — randomised_benchmarking.py:71-77 scores
+            # npq.fidelity on the unnormalised Shaw logical density.
             rows.append({
                 "db": float(db), "depth": int(depth),
                 "fidelity": float(np.real(np.conj(psi) @ rho @ psi)),

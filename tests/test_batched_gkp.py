@@ -105,3 +105,25 @@ def test_op_granularity_matches_dv():
     assert np.mean(fids) > 0.6, fids
     # no whole-gadget executors were compiled, only op-level ones
     assert not any(k[0] in ("single", "two") for k in runner._cache)
+
+
+def test_epsilon_is_traced_not_baked():
+    """epsilon flows as executor DATA: different dBs through the same cache
+    signature must give different states (guards against a dropped argument),
+    and a fresh runner at another dB adds no new cache signatures."""
+    runner_a = BatchedGKP(QS, db2eps(6.0), SVD)
+    runner_b = BatchedGKP(QS, db2eps(12.0), SVD)
+    coeffs = logical_coeffs([DVState.ZERO])
+    ta = np.asarray(runner_a.init_tensors(coeffs, 2)[0])
+    tb = np.asarray(runner_b.init_tensors(coeffs, 2)[0])
+    assert ta.shape == tb.shape
+    assert np.max(np.abs(ta - tb)) > 1e-3  # epsilon actually reached the state
+
+    gates = [dvg.H(0), dvg.P(0)]
+    circ = MBGKPCircuit.transpile(gates, 1)
+    circ.fill()
+    runner_a.run_circuit(circ, coeffs, 2, rng_seed=0)
+    sigs_a = set(runner_a._cache)
+    runner_b._cache = runner_a._cache  # share the executor cache across dBs
+    runner_b.run_circuit(circ, coeffs, 2, rng_seed=0)
+    assert set(runner_b._cache) == sigs_a  # dB change adds NO new executors
