@@ -59,9 +59,11 @@ def main(config: GroverBatchedConfig | None = None):
 
     data: list[dict] = []
     meta: list[dict] = []
+    shared_cache: dict = {}  # epsilon is traced, so executors are dB-agnostic
     for i, db in enumerate([float(x) for x in str(config.dbs).split(",")]):
         eps = float(db2eps(db))
         runner = BatchedGKP(qs, eps, svd, adaptive=True, granularity="op")
+        runner._cache = shared_cache
         kept = attempted = dropped = 0
         t_db = timer()
         while kept < config.trajectories:

@@ -131,9 +131,11 @@ def main(config: RBBatchedConfig | None = None):
 
     data: list[dict] = []
     meta: list[dict] = []
+    shared_cache: dict = {}  # epsilon is traced, so executors are dB-agnostic
     for db in [float(x) for x in str(config.dbs).split(",")]:
         runner = BatchedGKP(qs, float(db2eps(db)), svd, adaptive=True,
                             granularity="op")
+        runner._cache = shared_cache
         for depth in [int(x) for x in str(config.depths).split(",")]:
             t0 = timer()
             stats: dict = {}
