@@ -35,9 +35,14 @@ def setup_compile_cache(path: str | None = None):
 
 
 def write_data(path: str, data: list[dict]):
-    """Whole-file JSON rewrite (reference checkpointing pattern)."""
+    """Whole-file JSON rewrite (reference checkpointing pattern).
+
+    `default=float` guards against numpy scalars (np.float32 is NOT a
+    Python-float subclass and would otherwise abort a long sweep at its
+    first checkpoint write).
+    """
     with open(path, "w") as fh:
-        fh.write(json.dumps(data))
+        fh.write(json.dumps(data, default=float))
 
 
 def prepare_output(path: str, overwrite: bool = False):

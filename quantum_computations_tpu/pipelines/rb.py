@@ -70,7 +70,10 @@ def sample_depth(db: float, depth: int, num_samples: int, rng_seed,
         success = np.asarray(DVSimulator(dv_circ).run(init_dv))
         fidelity = float(qop.fidelity(jnp.asarray(rho), jnp.asarray(success)))
         purity = float(np.trace(rho @ rho).real)
-        samples.append({"db": db, "depth": depth, "fidelity": fidelity, "purity": purity})
+        samples.append({"db": db, "depth": depth, "fidelity": fidelity, "purity": purity,
+                        # diagnostic beyond the reference schema: raw trace
+                        # (code-space leakage); reference ~0.967 at 5.833 dB
+                        "trace": float(np.trace(rho).real)})
     return samples
 
 

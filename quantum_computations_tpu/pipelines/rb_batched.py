@@ -99,6 +99,11 @@ def sample_depth_batched(runner: BatchedGKP, db: float, depth: int,
                 "db": float(db), "depth": int(depth),
                 "fidelity": float(np.real(np.conj(psi) @ rho @ psi)),
                 "purity": float(np.trace(rho @ rho).real),
+                # extra diagnostic (not in the reference schema): the raw
+                # trace separates code-space leakage from logical error —
+                # reference traces at 5.833 dB are ~0.967 (sqrt of the
+                # committed purities), a parity target for our engine.
+                "trace": float(tr),
             })
     return rows
 
