@@ -177,7 +177,9 @@ def test_rb_batched_smoke():
                                 max_bond_dim=10, data_file="", rng_seed=1))
     assert len(rows) == 2
     for r in rows:
-        assert set(r) == {"db", "depth", "fidelity", "purity"}
+        # reference-schema keys plus the trace diagnostic (leakage monitor)
+        assert set(r) == {"db", "depth", "fidelity", "purity", "trace"}
+        assert 0.5 < r["trace"] <= 1.05
         assert -0.05 <= r["fidelity"] <= 1.05
         assert 0.0 < r["purity"] <= 1.1
 
