@@ -29,12 +29,26 @@ REF_DAT = ("/root/reference/impact_of_finite_squeezing_on_near-term_quantum_"
            "computations_using_gkp_qubits/data/gkp_rb.dat")
 
 
-def cell_stats(samples):
+def cell_stats(samples, cluster: int = 0):
+    """Per-(db, depth) mean/SE/n. With cluster=B > 0, rows are treated as
+    consecutive batches of B trajectories sharing one random circuit (the
+    rb_batched layout) and the SE is computed over CIRCUIT means — the naive
+    per-row SE understates the cell uncertainty because trajectories within
+    a batch are correlated through their shared circuit."""
     by = defaultdict(list)
     for s in samples:
         by[(round(float(s["db"]), 3), int(s["depth"]))].append(float(s["fidelity"]))
-    return {k: (float(np.mean(v)), float(np.std(v) / np.sqrt(len(v))), len(v))
-            for k, v in sorted(by.items())}
+    out = {}
+    for k, v in sorted(by.items()):
+        v = np.asarray(v)
+        if cluster > 1 and len(v) > cluster:
+            cm = np.array([v[i:i + cluster].mean()
+                           for i in range(0, len(v), cluster)])
+            se = float(cm.std(ddof=1) / np.sqrt(len(cm)))
+        else:
+            se = float(v.std() / np.sqrt(len(v)))
+        out[k] = (float(v.mean()), se, len(v))
+    return out
 
 
 def main():
@@ -54,8 +68,9 @@ def main():
         return 1
 
     json.dump(data, open(os.path.join(B, "gkp_rb_tpu.dat"), "w"))
-    ours = cell_stats(data)
-    ref = cell_stats(json.load(open(REF_DAT)))
+    batch = max([m.get("batch", 16) for m in meta] or [16])
+    ours = cell_stats(data, cluster=batch)
+    ref = cell_stats(json.load(open(REF_DAT)))  # one circuit per row: naive SE is right
 
     cells = []
     for key, (mean, se, n) in ours.items():

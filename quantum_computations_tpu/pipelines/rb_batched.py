@@ -152,7 +152,7 @@ def main(config: RBBatchedConfig | None = None):
             fids = [r["fidelity"] for r in cell]
             meta.append({
                 "db": float(db), "depth": int(depth),
-                "samples": len(cell),
+                "samples": len(cell), "batch": int(config.batch),
                 "attempted": stats["attempted"], "dropped": stats["dropped"],
                 "drop_rate": stats["dropped"] / max(1, stats["attempted"]),
                 "seconds": round(dt, 1),
