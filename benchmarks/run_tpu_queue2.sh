@@ -2,10 +2,12 @@
 # Round-3 follow-up TPU queue (run AFTER run_tpu_queue.sh completes — one
 # chip, jobs must not contend; never edit a queue script while it runs).
 #
-# Extends the production Grover evidence to the reference's other two
-# committed oracles at 12.5 dB (executor shapes + epsilon already in the
-# compile cache from the {0,4} run — these are warm, ~8 min each) and one
-# more dB point for oracle {0,4} (fresh epsilon, compile-heavy).
+# 1. q-study at production shape: confirms the CPU finding that q=2 power
+#    iterations match the reference's q=7 heuristic at rel_err=1e-2, which
+#    would ~halve the streamed-iterate cost that dominates the engine.
+# 2. Timed engine comparison q=2 vs default on the headline bench workload.
+# 3. The reference's other two committed Grover oracles at 12.5 dB
+#    (executor shapes already cached from the {0,4} run).
 set -u
 cd "$(dirname "$0")/.."
 B=benchmarks
@@ -27,13 +29,24 @@ step() { # step <name> <timeout_s> <cmd...>
     fi
 }
 
-step grover-27 3600 python -m quantum_computations_tpu.pipelines.grover_batched \
+# ground-truth accuracy study at production GRID (chi capped at 8 so the
+# materialised reference SVD stays host-feasible; the chi-starved spectrum
+# is the slowest-decaying = hardest case for few power iterations)
+step qstudy-tpu 5400 python $B/streamed_q_study.py --grid 1000 --chi 8 \
+    --db 5.833 --depth 8 --qs 1,2,4,7
+# paired-trajectory test at FULL production parameters: same seed as the
+# main sweep's (5.833, depth 8) cell -> identical circuits, so the q=2
+# fidelity distribution is directly comparable to the committed q-default
+# cell in gkp_rb_tpu_5.833.dat
+step rb-q2-paired 7200 env QCT_STREAM_POWER_ITERS=2 \
+    python -m quantum_computations_tpu.pipelines.rb_batched \
+    --dbs 5.833 --depths 8 --num-samples 48 --batch 16 \
+    --data-file $B/rb_q2_paired.dat --overwrite
+# timed: the headline bench workload with q=2 vs the committed default
+step bench-q2 5400 env QCT_STREAM_POWER_ITERS=2 QCT_BENCH_REPS=3 python bench.py
+step bench-qdefault 5400 env QCT_BENCH_REPS=3 python bench.py
+step grover-27 5400 python -m quantum_computations_tpu.pipelines.grover_batched \
     --tagged 2,7 --data-file $B/gkp_grover_tpu_27.dat --overwrite
-step grover-36 3600 python -m quantum_computations_tpu.pipelines.grover_batched \
+step grover-36 5400 python -m quantum_computations_tpu.pipelines.grover_batched \
     --tagged 3,6 --data-file $B/gkp_grover_tpu_36.dat --overwrite
-# batch 16 matches the RB sweep's executor shapes at the same epsilon
-# (db2eps(10.0)), so much of the compile cache is shared with rb-10.0.
-step grover-04-db10 7200 python -m quantum_computations_tpu.pipelines.grover_batched \
-    --tagged 0,4 --dbs 10.0 --batch 16 --trajectories 32 \
-    --data-file $B/gkp_grover_tpu_04_db10.dat --overwrite
 echo "=== queue2 complete at $(date -u +%H:%M:%S)"
