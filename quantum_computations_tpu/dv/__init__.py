@@ -13,9 +13,10 @@ from .gates import (
     Gate, I, X, Y, Z, H, RZ, P, Pdg, T, Tdg, CX, CZ, SWAP, Insert, M, MZ, MX,
 )
 from .simulator import Simulator, ClassicalControl, parse_state
+from .fast_sv import FastStatevector
 
 __all__ = [
     "qop", "State", "Gate", "I", "X", "Y", "Z", "H", "RZ", "P", "Pdg", "T",
     "Tdg", "CX", "CZ", "SWAP", "Insert", "M", "MZ", "MX", "Simulator",
-    "ClassicalControl", "parse_state",
+    "ClassicalControl", "parse_state", "FastStatevector",
 ]

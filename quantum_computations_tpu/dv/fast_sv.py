@@ -1,0 +1,218 @@
+"""Large-N split-real statevector engine on the Pallas kernel set.
+
+The general :class:`.simulator.Simulator` keeps a complex statevector and
+supports mid-circuit measurement / classical control — the reference DV
+engine's semantics (``simulators/dv_simulator/simulator.py``). At large N
+the TPU wants something different:
+
+- **split-real float planes** — the tunnelled TPU backend cannot transfer
+  complex buffers host<->device at all, and Pallas has no native complex;
+- **fused gate chains** — a single-qubit gate pass is HBM-bound (read +
+  write the full state), so fusing k gates into one pass via
+  :func:`..ops.pallas_kernels.apply_1q_chain` is a ~k× win;
+- **buffer donation** — an N=30 float32 state is 2 × 4 GiB planes; only
+  in-place updates fit a 16 GiB chip.
+
+This module packages those kernels as an engine for unitary circuits +
+terminal Born sampling (the Grover/RB usage pattern — the reference's
+mid-circuit measurements live in the general engine). Replaces the
+reference's dense O(4^N) ``expand_gate`` construction
+(``simulators/dv_simulator/numpy_quantum.py:243-247``) at scale.
+
+Gate scheduling: consecutive single-qubit gates whose amplitude bits are
+fusable under the (c_bits, block_rows) layout accumulate into one fused
+chain; adjacent-pair two-qubit gates use the 4×4 branch-mix kernel; all
+other gates fall back to the XLA split-real contraction (which XLA fuses
+well for the low-`inner` qubits where a Pallas pass would be layout-bound
+anyway).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import pallas_kernels as pk
+
+__all__ = ["FastStatevector"]
+
+
+def _apply_xla_general(re, im, u, targets: tuple[int, ...], num_qubits: int):
+    """Split-real k-qubit unitary application via tensordot (XLA path).
+
+    Functional twin of :func:`.qop.apply_unitary` (big-endian qubit order)
+    on (re, im) planes: four real contractions instead of one complex one.
+    """
+    N = num_qubits
+    k = len(targets)
+    shape = (2,) * N
+    xr = re.reshape(shape)
+    xi = im.reshape(shape)
+    u = jnp.asarray(u)
+    ur = jnp.real(u).astype(xr.dtype).reshape((2,) * (2 * k))
+    ui = jnp.imag(u).astype(xr.dtype).reshape((2,) * (2 * k))
+    axes = (tuple(range(k, 2 * k)), tuple(targets))
+    rr = jnp.tensordot(ur, xr, axes=axes)
+    ri = jnp.tensordot(ur, xi, axes=axes)
+    ir = jnp.tensordot(ui, xr, axes=axes)
+    ii = jnp.tensordot(ui, xi, axes=axes)
+    out_r, out_i = rr - ii, ri + ir
+    # tensordot moved the target axes to the front; restore positions
+    perm = list(targets) + [i for i in range(N) if i not in targets]
+    inv = np.argsort(perm)
+    return (jnp.transpose(out_r, inv).reshape(-1),
+            jnp.transpose(out_i, inv).reshape(-1))
+
+
+@dataclass
+class _Plan:
+    """One scheduled device call."""
+
+    kind: str                      # "chain" | "2q" | "xla"
+    matrices: list = field(default_factory=list)
+    bits: list = field(default_factory=list)    # chain: amplitude bits
+    targets: tuple = ()                         # 2q/xla: qubit indices
+
+
+class FastStatevector:
+    """Unitary-circuit engine over split-real planes with Pallas fast paths.
+
+    Parameters
+    ----------
+    num_qubits:
+        State size; planes are float32 of shape (2**num_qubits,).
+    use_pallas:
+        ``None`` (default) enables the Pallas kernels only on a TPU
+        backend; tests force ``True`` with ``interpret=True`` or ``False``
+        for the pure-XLA path.
+    donate:
+        Alias kernel outputs onto the input planes (in-place on HBM) —
+        required for N >= 30 on one chip.
+    """
+
+    C_BITS = 11
+    BLOCK_ROWS = 128
+
+    def __init__(self, num_qubits: int, *, use_pallas: bool | None = None,
+                 interpret: bool = False, donate: bool = False):
+        self.N = int(num_qubits)
+        if use_pallas is None:
+            use_pallas = jax.default_backend() not in ("cpu",)
+        self.use_pallas = bool(use_pallas)
+        self.interpret = bool(interpret)
+        self.donate = bool(donate)
+        # layout must fit the register: columns 2^c_bits <= state size with
+        # at least one block row
+        self.c_bits = min(self.C_BITS, self.N - 1)
+        self.block_rows = min(self.BLOCK_ROWS, 1 << (self.N - self.c_bits))
+        n = 1 << self.N
+
+        @jax.jit
+        def _init():
+            re = jnp.zeros((n,), jnp.float32).at[0].set(1.0)
+            return re, jnp.zeros((n,), jnp.float32)
+
+        self.re, self.im = _init()
+        self._fusable = set(pk.fusable_bits(self.N, self.c_bits,
+                                            self.block_rows))
+
+    # -- scheduling ------------------------------------------------------
+    def _bit(self, qubit: int) -> int:
+        """Amplitude-bit position of a big-endian qubit index."""
+        return self.N - qubit - 1
+
+    def _plan(self, gates) -> list[_Plan]:
+        """Greedy fusion: runs of Pallas-fusable 1q gates form one chain."""
+        plans: list[_Plan] = []
+        chain: _Plan | None = None
+        for g in gates:
+            mat, targets = g if isinstance(g, tuple) else (g.matrix, tuple(g.indices))
+            mat = np.asarray(mat)
+            if mat.size == 2:
+                # Insert-style state injection (a, b): the reference engine
+                # grows the register (dv gates.py Insert); here the register
+                # is fixed and the target starts in |0>, so the injection is
+                # the state-prep unitary [[a, -b*], [b, a*]].
+                a, b = mat.reshape(2)
+                mat = np.array([[a, -np.conj(b)], [b, np.conj(a)]])
+            k = len(targets)
+            bit = self._bit(targets[0])
+            if (self.use_pallas and k == 1 and bit in self._fusable):
+                if chain is None:
+                    chain = _Plan("chain")
+                    plans.append(chain)
+                chain.matrices.append(mat)
+                chain.bits.append(bit)
+                continue
+            chain = None
+            if (self.use_pallas and k == 2 and targets[1] == targets[0] + 1
+                    and self.N - targets[0] - 2 >= 7):
+                plans.append(_Plan("2q", matrices=[mat], targets=targets))
+            else:
+                plans.append(_Plan("xla", matrices=[mat], targets=targets))
+        return plans
+
+    # -- execution -------------------------------------------------------
+    def run(self, gates) -> "FastStatevector":
+        """Apply a sequence of gate objects (``.matrix`` + ``.indices``) or
+        ``(matrix, targets)`` tuples. Returns self."""
+        for plan in self._plan(gates):
+            if plan.kind == "chain":
+                us = np.stack(plan.matrices).astype(np.complex64)
+                self.re, self.im = pk.apply_1q_chain(
+                    self.re, self.im, us, tuple(plan.bits), self.N,
+                    c_bits=self.c_bits, block_rows=self.block_rows,
+                    donate=self.donate, interpret=self.interpret)
+            elif plan.kind == "2q":
+                self.re, self.im = pk.apply_2q_adjacent(
+                    self.re, self.im, plan.matrices[0], plan.targets[0],
+                    self.N, interpret=self.interpret)
+            else:
+                self.re, self.im = _apply_xla_general(
+                    self.re, self.im, plan.matrices[0], plan.targets, self.N)
+        return self
+
+    # -- readout ---------------------------------------------------------
+    def norm_sq(self) -> float:
+        @jax.jit
+        def f(re, im):
+            return jnp.sum(re * re) + jnp.sum(im * im)
+
+        return float(f(self.re, self.im))
+
+    def probs(self) -> jax.Array:
+        """|amp|^2 vector — only sensible for small/medium N."""
+
+        @jax.jit
+        def f(re, im):
+            return re * re + im * im
+
+        return f(self.re, self.im)
+
+    def sample(self, key, shots: int = 1) -> np.ndarray:
+        """Terminal Born sampling of all qubits: (shots,) basis indices.
+
+        Two-stage exact factorisation — a categorical over row sums
+        (marginal of the leading N-C_BITS bits) then a categorical over the
+        chosen row — so no 2^N logits temp is ever materialised; at N=30
+        the temps are a (2^19,) row-sum vector and (shots, 2^11) rows.
+        """
+        cbits = min(self.c_bits, self.N)
+        C = 1 << cbits
+        R = (1 << self.N) // C
+
+        @jax.jit
+        def f(re, im, key):
+            p = (re * re + im * im).reshape(R, C)
+            rows = jnp.sum(p, axis=1)                      # (R,)
+            k1, k2 = jax.random.split(key)
+            r = jax.random.categorical(k1, jnp.log(rows + 1e-30),
+                                       shape=(shots,))    # (shots,)
+            pr = p[r, :]                                   # (shots, C)
+            c = jax.random.categorical(k2, jnp.log(pr + 1e-30), axis=-1)
+            return r * C + c
+
+        return np.asarray(f(self.re, self.im, key))

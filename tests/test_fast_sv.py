@@ -1,0 +1,73 @@
+"""FastStatevector: split-real large-N engine vs the complex reference path."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from quantum_computations_tpu.dv import qop, gates as dvg
+from quantum_computations_tpu.dv.fast_sv import FastStatevector
+
+N = 10  # inner >= 128 for qubits 0..2 -> exercises pallas AND xla fallbacks
+
+
+def _reference_state(gates, n):
+    psi = jnp.zeros((1 << n,), dtype=complex).at[0].set(1.0)
+    for g in gates:
+        psi = qop.apply_unitary(psi, jnp.asarray(g.matrix), tuple(g.indices))
+    return np.asarray(psi).reshape(-1)
+
+
+def _circuit():
+    return [
+        dvg.H(0), dvg.H(1), dvg.H(2),          # fusable chain (bits 9,8,7)
+        dvg.CX(1, 2),                          # adjacent pair, inner 2^7
+        dvg.T(0), dvg.P(1),
+        dvg.CZ(4, 7),                          # non-adjacent -> xla
+        dvg.H(9),                              # inner < 128 -> xla
+        dvg.X(5), dvg.Y(6),
+    ]
+
+
+@pytest.mark.parametrize("mode", ["xla", "pallas-interpret"])
+def test_matches_complex_reference(mode):
+    gates = _circuit()
+    want = _reference_state(gates, N)
+    sv = FastStatevector(N, use_pallas=(mode == "pallas-interpret"),
+                         interpret=True)
+    sv.run(gates)
+    got = np.asarray(sv.re) + 1j * np.asarray(sv.im)
+    # global state, not just probabilities
+    np.testing.assert_allclose(got, want, atol=2e-6)
+    assert abs(sv.norm_sq() - 1.0) < 1e-5
+
+
+def test_chain_fusion_planned():
+    sv = FastStatevector(N, use_pallas=True, interpret=True)
+    plans = sv._plan(_circuit())
+    kinds = [p.kind for p in plans]
+    assert kinds[0] == "chain" and len(plans[0].matrices) == 3
+    assert "2q" in kinds and "xla" in kinds
+
+
+def test_sampling_distribution():
+    # 3 Hadamards on a 10-qubit register -> uniform over 8 leading patterns
+    sv = FastStatevector(N, use_pallas=False)
+    sv.run([dvg.H(0), dvg.H(1), dvg.H(2)])
+    samples = sv.sample(jax.random.PRNGKey(0), shots=4096)
+    # remaining qubits must be |0>
+    assert np.all(samples % (1 << (N - 3)) == 0)
+    leading = samples >> (N - 3)
+    counts = np.bincount(leading, minlength=8)
+    assert counts.min() > 4096 / 8 * 0.7, counts
+
+
+def test_grover_on_fast_engine():
+    """The DV Grover circuit runs end-to-end on the fast engine (xla mode on
+    CPU) and concentrates on the tagged states."""
+    from quantum_computations_tpu.pipelines import circuits
+
+    gates = circuits.grover(circuits.oracle([2, 7]))
+    sv = FastStatevector(3, use_pallas=False).run(gates)
+    p = np.asarray(sv.probs())
+    assert abs(p[2] - 0.5) < 1e-5 and abs(p[7] - 0.5) < 1e-5
