@@ -59,7 +59,11 @@ def main():
     for path in sorted(glob.glob(os.path.join(B, "gkp_rb_tpu_*.dat"))):
         if path.endswith(".meta.json"):
             continue
-        data += json.load(open(path))
+        try:
+            data += json.load(open(path))
+        except json.JSONDecodeError:  # in-flight sweep: empty placeholder
+            print(f"skipping unreadable {path}", file=sys.stderr)
+            continue
         mpath = path + ".meta.json"
         if os.path.exists(mpath):
             meta += json.load(open(mpath))

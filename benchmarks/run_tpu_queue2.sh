@@ -42,6 +42,12 @@ step rb-q2-paired 7200 env QCT_STREAM_POWER_ITERS=2 \
     python -m quantum_computations_tpu.pipelines.rb_batched \
     --dbs 5.833 --depths 8 --num-samples 48 --batch 16 \
     --data-file $B/rb_q2_paired.dat --overwrite
+# circuit-diverse resample of the (5.833, depth 8) anchor: the sweep cell
+# had only 7 independent circuits (batch 16); batch 8 x 200 samples = 25
+# circuits tightens the cluster SE to ~0.014 and adjudicates the z=+1.9
+step rb-anchor-diverse 10800 python -m quantum_computations_tpu.pipelines.rb_batched \
+    --dbs 5.833 --depths 8 --num-samples 200 --batch 8 --rng-seed 1234 \
+    --data-file $B/rb_anchor_diverse.dat --overwrite
 # timed: the headline bench workload with q=2 vs the committed default
 step bench-q2 5400 env QCT_STREAM_POWER_ITERS=2 QCT_BENCH_REPS=3 python bench.py
 step bench-qdefault 5400 env QCT_BENCH_REPS=3 python bench.py
