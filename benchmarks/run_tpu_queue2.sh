@@ -51,6 +51,13 @@ step rb-anchor-diverse 10800 python -m quantum_computations_tpu.pipelines.rb_bat
 # timed: the headline bench workload with q=2 vs the committed default
 step bench-q2 5400 env QCT_STREAM_POWER_ITERS=2 QCT_BENCH_REPS=3 python bench.py
 step bench-qdefault 5400 env QCT_BENCH_REPS=3 python bench.py
+# retry of the (10.0, depth 20) cell — the main-queue run hung on a
+# tunnel call mid-cell (process blocked with no CPU for 20+ min) and was
+# killed; depths 8/10/15 were checkpointed. Fresh circuits (seed 77) are
+# equally valid samples of the cell.
+step rb-10-d20 7200 python -m quantum_computations_tpu.pipelines.rb_batched \
+    --dbs 10.0 --depths 20 --num-samples 100 --batch 16 --rng-seed 77 \
+    --data-file $B/gkp_rb_tpu_10.0_d20.dat --overwrite
 step grover-27 5400 python -m quantum_computations_tpu.pipelines.grover_batched \
     --tagged 2,7 --data-file $B/gkp_grover_tpu_27.dat --overwrite
 step grover-36 5400 python -m quantum_computations_tpu.pipelines.grover_batched \

@@ -79,9 +79,15 @@ def sample_depth_batched(runner: BatchedGKP, db: float, depth: int,
                 "instead of resampling forever")
         n = min(batch, num_samples - len(rows))
         dv_circ, gkp_circ = random_circ(N, depth, rng)
+        t_batch = timer()
         tensors, frames = runner.run_circuit(
             gkp_circ, logical_coeffs([DVState.ZERO] * N), n,
             rng_seed=int(rng.integers(2**31)))
+        # per-batch heartbeat: a silent cell can otherwise hide a hung
+        # remote-compile/tunnel call for its entire multi-batch duration
+        logger.info("db=%.3f depth=%d: batch of %d in %.0fs (%d/%d)",
+                    db, depth, n, timer() - t_batch, len(rows) + n,
+                    num_samples)
         rho_re, rho_im = (np.asarray(x) for x in runner.readout(tensors, frames))
         psi = _dv_state_np(dv_circ, N)
         stats["attempted"] += n
