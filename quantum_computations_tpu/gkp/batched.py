@@ -20,16 +20,19 @@ Structure:
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 import jax
 import jax.numpy as jnp
 
-from ..config import SVDOptions
+from ..config import SVDOptions, complex_dtype
 from ..cv import gates as cvg
 from ..cv.mps import MPS
 from ..dv import gates as dv_gates
 from ..dv.simulator import ClassicalControl
+from ..ops.fused_gadget import fused_single_gadget
 from ..utils import as_key
 from ..utils.profiling import span
 from .compiled import ARCTAN2, _homodyne, _insert_bell, _syndrome_from, _two_mode_gadget
@@ -39,10 +42,16 @@ from .utils import full_logical_density_mps
 
 SQPI = np.sqrt(np.pi)
 
+# Fused single-mode gadgets (Bell + BS + both homodynes in ONE executor with
+# no SVD at all — ops/fused_gadget.py). Default ON; QCT_FUSED_SINGLE=0
+# restores the split bell/BS-SVD/homodyne op path for A/B comparison.
+_FUSED_SINGLE_DEFAULT = os.environ.get("QCT_FUSED_SINGLE", "1") == "1"
+
 
 class BatchedGKP:
     def __init__(self, qs, ancilla_epsilon, svd_options: SVDOptions | dict | None = None,
-                 *, adaptive: bool = False, granularity: str = "gadget"):
+                 *, adaptive: bool = False, granularity: str = "gadget",
+                 fused_single: bool | None = None):
         """adaptive=True enables rank-adaptive bond trimming: true bond ranks
         are measured on-device (integer fetch), the batch-maximum is bucketed,
         and tensors are sliced by cached executors. This restores dynamic-rank
@@ -53,7 +62,12 @@ class BatchedGKP:
         round-trips); "op" jits one executor per CV operation with trimming
         BETWEEN ops — required at production bond dimensions, where a whole
         macronode gadget at static caps materialises a (chi, d, d, chi)
-        tensor (80 GB at chi=100, d=1000) regardless of the true ranks."""
+        tensor (80 GB at chi=100, d=1000) regardless of the true ranks.
+
+        fused_single (default: QCT_FUSED_SINGLE env, on): run every
+        single-mode gadget through the SVD-free fused executor
+        (ops/fused_gadget.py) regardless of granularity — one dispatch, no
+        truncation, shape-preserving."""
         if granularity not in ("gadget", "op"):
             raise ValueError(granularity)
         self.qs = np.asarray(qs)
@@ -63,6 +77,8 @@ class BatchedGKP:
         self.opts = svd_options or SVDOptions()
         self.adaptive = adaptive
         self.granularity = granularity
+        self.fused_single = (_FUSED_SINGLE_DEFAULT if fused_single is None
+                             else bool(fused_single))
         self._cache: dict = {}
 
     def _eps_arr(self, batch: int) -> np.ndarray:
@@ -96,6 +112,9 @@ class BatchedGKP:
         arrays) enter the syndrome formula — they differ from the measured
         angles only for Pauli-frame-flipped T gadgets.
         """
+        if self.fused_single:
+            return self._single_fused(tensors, idx, meas_a2, syn_a1, syn_a2,
+                                      bell_phase, keys, a1=a1)
         if self.granularity == "op":
             return self._single_ops(tensors, idx, meas_a2, syn_a1, syn_a2,
                                     bell_phase, keys, a1=a1, a1_zero=a1_zero)
@@ -115,6 +134,40 @@ class BatchedGKP:
         fn = self._get(sig, body)
         out_tensors, synd = fn(tuple(tensors), meas_a2, syn_a1, syn_a2, bell_phase,
                                self._eps_arr(tensors[0].shape[0]), keys)
+        return list(out_tensors), synd
+
+    def _single_fused(self, tensors, idx, meas_a2, syn_a1, syn_a2, bell_phase,
+                      keys, *, a1):
+        """SVD-free fused single-mode gadget executor (ops/fused_gadget.py).
+
+        ONE jitted program per (idx, a1, chain-shape) signature: Bell vectors
+        from traced epsilon, both homodynes sampled on-device, syndrome
+        arithmetic in-program. Shape-preserving — the teleported output mode
+        has the input mode's exact bond shape, so no post-gadget trim is
+        needed and the executor cache sees no new signatures from it.
+        """
+        sig = ("fused_single", idx, float(a1), self._shapes(tensors))
+
+        def body(tensor_tuple, m_a2, s_a1, s_a2, b_phase, e, key):
+            from ..cv.states import State as CVState
+
+            qs = jnp.asarray(self.qs)
+            zero = CVState.GKP_ZERO.eval(qs, e)
+            one = CVState.GKP_ONE.eval(qs, e)
+            c1 = jnp.exp(1j * b_phase).astype(complex_dtype())
+            bell = jnp.stack([2 ** (-1 / 4) * zero, 2 ** (-1 / 4) * c1 * one],
+                             axis=-1)
+            new_tensors, m1, m2 = fused_single_gadget(
+                list(tensor_tuple), idx, self.qs, bell, a1, m_a2, key)
+            s = _syndrome_from(s_a1, s_a2, m1, m2)
+            return tuple(new_tensors), jnp.stack([s[0], s[1]])
+
+        fn = self._get(sig, body)
+        with span("op:fused_single"):
+            out_tensors, synd = fn(
+                tuple(tensors), jnp.asarray(meas_a2), jnp.asarray(syn_a1),
+                jnp.asarray(syn_a2), jnp.asarray(bell_phase),
+                self._eps_arr(tensors[0].shape[0]), keys)
         return list(out_tensors), synd
 
     # -- op-level executors (granularity="op") --------------------------
@@ -413,7 +466,7 @@ class BatchedGKP:
                         tensors, idx, a2, 0.0 * ones, a2, 0.0 * ones, keys,
                         a1=0.0, a1_zero=True)
                     cur_synd[:, idx, :] = np.asarray(synd)
-                    if self.adaptive:
+                    if self.adaptive and not self.fused_single:
                         tensors = self._trim_tensors(tensors)
                     continue
 
@@ -427,7 +480,7 @@ class BatchedGKP:
                         sgn * np.pi / 2, sgn * np.pi / 8, keys,
                         a1=0.0, a1_zero=True)
                     cur_synd[:, idx, :] = np.asarray(synd)
-                    if self.adaptive:
+                    if self.adaptive and not self.fused_single:
                         tensors = self._trim_tensors(tensors)
                     continue
 
@@ -478,7 +531,9 @@ class BatchedGKP:
                 else:
                     raise NotImplementedError(f"Gate {gate} not supported in batched mode.")
 
-                if self.adaptive:
+                # fused single gadgets are shape- and rank-preserving
+                two_mode = t in (dv_gates.CZ, dv_gates.SWAP)
+                if self.adaptive and (two_mode or not self.fused_single):
                     tensors = self._trim_tensors(tensors)
 
             frame ^= cur_synd

@@ -1,0 +1,284 @@
+"""Fused single-mode MB gadget: Bell splice + BS + both homodynes, SVD-free.
+
+The Walshe teleportation gadget (reference ``gkp_simulator/gates.py:89-127``)
+inserts a Bell pair, beam-splits the input with the first Bell mode and then
+homodynes BOTH beamsplitter operands immediately. The conventional execution
+(reference and this repo's unfused path) materialises/splits the post-BS pair
+with truncated SVDs — at production sizes three streamed CZ-split SVDs, each
+a host-driven subspace iteration (``ops/streamed.py``), dominating trajectory
+time (round-3 attribution: ~73% in BS splits + Gram fetches).
+
+This module removes the SVDs entirely by evaluating the two measurements
+directly on the *virtual* post-BS pair:
+
+1. **Product structure.** The exact Bell splice (``gkp/bell.py``) makes the
+   ancilla tensor a product: ``bell1[k, x, (k2, s)] = b1[x, s] delta(k, k2)``,
+   so the BS pair tensor is an outer product ``T[a, i, j, (k2, s)] =
+   t1[a, i, k2] * b1[j, s]`` — no bond contraction at all. The right
+   environment of the pair is the Kronecker ``E (x) Gb2`` (rest-of-chain env
+   times the 2x2 Bell Gram).
+
+2. **Line evaluation instead of a 2-D warp.** The BS is a point rotation of
+   the (q1, q2) plane: the post-BS tensor row ``i`` is the pre-BS pair
+   evaluated along the rotated line ``(c q_i + s q_j, -s q_i + c q_j)``
+   (exactly what ``ops/interp.rotation_maps``/``rotate_fft`` resample). For an
+   outer product this is a product of two 1-D band-limited evaluations.
+
+3. **Factorised probability.** Dressing the factors with Hermitian PSD square
+   roots of the environments (Newton-Schulz, no eigh) orthonormalises the
+   bond sums, so the first homodyne's position distribution is
+
+       p1(i) ~ sum_j G(c q_i + s q_j) * H(-s q_i + c q_j),
+
+   with ``G(x) = sum_lines |t1_dressed(x)|^2`` and ``H`` its Bell analogue —
+   two 1-D functions band-limited to twice the state bandwidth. G and H are
+   tabulated ONCE on half-spacing zero-padded stretched grids and every
+   rotated line is then a Fourier shift + strided slice: the whole
+   distribution costs a couple of (2d x d) matmuls and FFTs instead of a
+   streamed randomized SVD.
+
+4. **Collapse by slicing.** Conditioning on the sampled grid index is a
+   single Fourier-shifted line evaluation of the raw factors; the second
+   homodyne then acts on the materialised (a, d, 2k) conditional mode with
+   the standard rotation kernel, and the final collapsed (a, 2k) matrix
+   contracts EXACTLY with the structured second Bell tensor back to shape
+   (a, d, k) — the gadget is shape-preserving, needs no re-truncation, and
+   (unlike the reference path) is exact: no weight is discarded at all.
+
+Homodyne semantics (sampling measure, collapse normalisation, underflow
+guards) mirror ``cv/gates.py:Mq`` / reference ``cv_simulator/gates.py:87-117``.
+A homodyne at angle ``a1`` on the first operand commutes through the BS as
+``R1(-a1) BS = R2(+a1) BS [R1(-a1) (x) R2(-a1)]`` (a beamsplitter commutes
+with equal phase-space rotations on both arms), so the pre-rotations act on
+the cheap factor tensors and the trailing ``R2(+a1)`` folds into the second
+homodyne's rotation (net angle ``a1 - a2``); for the first measurement it
+drops out exactly (phase-space rotations preserve the position-integral
+measure).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import PRECISION, complex_dtype
+from .interp import rotation
+from .linalg import _ns_inv_sqrt
+
+__all__ = ["fused_single_gadget"]
+
+
+def _psd_sqrt(G: jax.Array) -> jax.Array:
+    """Hermitian PSD square root via the matmul-only Newton-Schulz inverse
+    sqrt (no eigh — the TPU backend lowers no complex eigh and a realified
+    device eigh costs ~500 s of remote compile per shape)."""
+    if G.shape[0] == 1:
+        return jnp.sqrt(jnp.clip(G.real, 0.0, None)).astype(G.dtype)
+    return jnp.matmul(G, _ns_inv_sqrt(G), precision=PRECISION)
+
+
+def _left_env(tensors) -> jax.Array:
+    """Transfer-matrix left environment (cv/mps.py partial_density_mps)."""
+    res = jnp.ones((1, 1), dtype=complex_dtype())
+    for t in tensors:
+        res = jnp.einsum("ab,aci,bcj->ij", res, t, jnp.conj(t), precision=PRECISION)
+    return res
+
+
+def _right_env(tensors) -> jax.Array:
+    res = jnp.ones((1, 1), dtype=complex_dtype())
+    for t in reversed(tensors):
+        res = jnp.einsum("ica,jcb,ab->ij", t, jnp.conj(t), res, precision=PRECISION)
+    return res
+
+
+def _stretch_sample_matrix(qs: np.ndarray, stretch: float, refine: int, pad: int):
+    """Sinc-sampling matrix onto a zero-padded stretched grid.
+
+    Rows are the padded grid points ``xi_m = stretch*q0 + (m - refine*pad)*h``
+    with ``h = stretch*dq/refine``; the core points ``xi = stretch*q_j`` sit at
+    ``m = refine*(pad + j)``. Points outside the original domain are zeroed
+    (gather zero-fill semantics) so Fourier shifts wrap only zeros/tails.
+    Returns (S (M, d) float, M, h).
+    """
+    d = int(qs.shape[0])
+    dq = float((qs[-1] - qs[0]) / (d - 1))
+    h = stretch * dq / refine
+    M = refine * (d + 2 * pad) - (refine - 1)
+    xi = stretch * float(qs[0]) + (np.arange(M) - refine * pad) * h
+    S = np.sinc((xi[:, None] - np.asarray(qs)[None, :]) / dq)
+    inside = (xi >= float(qs[0]) - 1e-9) & (xi <= float(qs[-1]) + 1e-9)
+    S = S * inside[:, None]
+    return S, M, h
+
+
+def _core_slice(x: jax.Array, refine: int, pad: int, d: int) -> jax.Array:
+    """Strided slice of the padded-grid axis (-1) back to the d core points."""
+    start = refine * pad
+    return jax.lax.slice_in_dim(x, start, start + refine * (d - 1) + 1,
+                                stride=refine, axis=x.ndim - 1)
+
+
+def _shift_eval(lines_f: jax.Array, freqs: jax.Array, deltas: jax.Array) -> jax.Array:
+    """Evaluate FFT'd padded lines shifted by ``deltas``: returns
+    ``(..., n_delta, M)`` with entry ``line(x + delta)`` on the padded grid."""
+    phase = jnp.exp(2j * jnp.pi * freqs[None, :] * deltas[:, None]).astype(lines_f.dtype)
+    return jnp.fft.ifft(lines_f[..., None, :] * phase, axis=-1)
+
+
+def fused_single_gadget(tensors, idx: int, qs, bell, a1, a2, key, *,
+                        bs_angle: float = np.pi / 4, force=None,
+                        line_chunk: int = 1024, diagnostics: bool = False):
+    """Execute one single-mode MB gadget without any SVD.
+
+    tensors: list of (l, d, r) chain tensors; ``tensors[idx]`` is the input
+    mode. bell: (d, 2) Bell column vectors (the ``(d, 2)`` matrix of
+    ``gkp/bell.py:GKPBellState.eval``; the second Bell tensor is its
+    transpose). a1: STATIC first homodyne angle; a2: second homodyne angle
+    (may be traced / per-trajectory). force: optional concrete (i, j) grid
+    indices for post-selection (testing). Returns
+    ``(new_tensors, m1, m2[, diag])`` with ``new_tensors[idx]`` the teleported
+    output of the SAME shape as the input mode.
+    """
+    t1 = tensors[idx]
+    a, d, k = t1.shape
+    L0 = len(tensors)
+    # The grid must be concrete (it defines static sampling matrices); chain
+    # tensors, angles and the Bell vectors may be traced.
+    qs_np = np.asarray(qs)
+    qs = jnp.asarray(qs_np)
+    dq = float((qs_np[-1] - qs_np[0]) / (d - 1))
+    cth, sth = float(np.cos(bs_angle)), float(np.sin(bs_angle))
+    cdt = t1.dtype
+    tiny = jnp.finfo(t1.real.dtype).tiny
+    a1 = float(a1)
+    k1, k2 = jax.random.split(key)
+
+    b1 = bell.astype(cdt)
+    if a1 != 0.0:
+        t1 = rotation(qs, t1, -a1, axis=1)
+        b1 = rotation(qs, b1, -a1, axis=0)
+
+    # Environments + Hermitian PSD square roots (matmul-only).
+    S_L = _psd_sqrt(_left_env(tensors[:idx]))            # (a, a)
+    S_E = _psd_sqrt(_right_env(tensors[idx + 1:]))       # (k, k)
+    Gb2 = jnp.einsum("ys,yt->st", bell, jnp.conj(bell), precision=PRECISION)
+    S_G = _psd_sqrt(Gb2)                                 # (2, 2)
+
+    # Dressed line families: G from the input factor, H from the Bell factor.
+    t1e = jnp.einsum("pa,aik,kg->ipg", jnp.conj(S_L), t1, S_E,
+                     precision=PRECISION).reshape(d, a * k)
+    b1d = jnp.matmul(b1, S_G, precision=PRECISION)       # (d, 2)
+
+    pad = d // 2 + 1
+    S2G, MG, hG = _stretch_sample_matrix(qs_np, sth, 2, pad)
+    S2H, MH, hH = _stretch_sample_matrix(qs_np, cth, 2, pad)
+    S2G = jnp.asarray(S2G, dtype=t1.real.dtype)
+    S2H = jnp.asarray(S2H, dtype=t1.real.dtype)
+
+    # G(x) = sum over dressed lines of |line(x)|^2, tabulated on the fine
+    # (half-spacing) padded grid — |f|^2 has twice f's bandwidth, so the
+    # half-spacing samples represent it exactly.
+    n_lines = a * k
+    chunk = min(line_chunk, n_lines)
+    n_chunks = -(-n_lines // chunk)
+    if n_chunks * chunk != n_lines:  # pad the line axis to a whole number of chunks
+        t1e = jnp.pad(t1e, ((0, 0), (0, n_chunks * chunk - n_lines)))
+
+    def g_body(i, acc):
+        lines = jax.lax.dynamic_slice_in_dim(t1e, i * chunk, chunk, axis=1)
+        u = jnp.matmul(S2G, lines, precision=PRECISION)
+        return acc + jnp.sum(jnp.abs(u) ** 2, axis=1)
+
+    G = jax.lax.fori_loop(0, n_chunks, g_body, jnp.zeros((MG,), t1.real.dtype))
+    H = jnp.sum(jnp.abs(jnp.matmul(S2H, b1d, precision=PRECISION)) ** 2, axis=1)
+
+    # p1(i) = dq^(L-1) * sum_j G(c q_i + s q_j) H(-s q_i + c q_j):
+    # Fourier-shift G by c*q_i (resp. H by -s*q_i) and read the strided core.
+    Gf = jnp.fft.fft(G.astype(cdt))
+    Hf = jnp.fft.fft(H.astype(cdt))
+    freqsG = jnp.fft.fftfreq(MG, d=hG).astype(t1.real.dtype)
+    freqsH = jnp.fft.fftfreq(MH, d=hH).astype(t1.real.dtype)
+
+    ic = next(x for x in range(min(128, d), 0, -1) if d % x == 0)
+
+    def p1_body(t, acc):
+        qi = jax.lax.dynamic_slice_in_dim(qs, t * ic, ic)
+        Grow = _core_slice(_shift_eval(Gf, freqsG, cth * qi).real, 2, pad, d)
+        Hrow = _core_slice(_shift_eval(Hf, freqsH, -sth * qi).real, 2, pad, d)
+        vals = jnp.sum(Grow * Hrow, axis=-1)
+        return jax.lax.dynamic_update_slice_in_dim(acc, vals, t * ic, axis=0)
+
+    p1_raw = jax.lax.fori_loop(0, d // ic, p1_body, jnp.zeros((d,), t1.real.dtype))
+    rho1 = jnp.clip(p1_raw, 0.0, None) * dq ** (L0 + 1)
+    dist1 = rho1 * dq
+    if force is not None:
+        i_star = jnp.asarray(force[0])
+    else:
+        i_star = jax.random.categorical(k1, jnp.log(dist1))
+    m1 = qs[i_star]
+    p1v = rho1[i_star]
+
+    # Collapse: raw (undressed) line evaluation at the sampled row.
+    S1G, M1G, h1G = _stretch_sample_matrix(qs_np, sth, 1, pad)
+    S1H, M1H, h1H = _stretch_sample_matrix(qs_np, cth, 1, pad)
+    S1G = jnp.asarray(S1G, dtype=t1.real.dtype)
+    S1H = jnp.asarray(S1H, dtype=t1.real.dtype)
+    f1G = jnp.fft.fftfreq(M1G, d=h1G).astype(t1.real.dtype)
+    f1H = jnp.fft.fftfreq(M1H, d=h1H).astype(t1.real.dtype)
+    delta1 = (cth * m1)[None]
+    deltaH = (-sth * m1)[None]
+
+    t1_lines = jnp.permute_dims(t1, (1, 0, 2)).reshape(d, a * k)
+    u_r = jnp.matmul(S1G, t1_lines, precision=PRECISION)          # (M1G, a k)
+    u_f = jnp.fft.fft(u_r, axis=0)
+    shifted = jnp.fft.ifft(
+        u_f * jnp.exp(2j * jnp.pi * f1G * delta1[0]).astype(cdt)[:, None], axis=0)
+    B1 = jax.lax.slice_in_dim(shifted, pad, pad + d, axis=0)      # (d, a k)
+    B1 = jnp.permute_dims(B1.reshape(d, a, k), (1, 0, 2))         # (a, d, k)
+
+    ub = jnp.matmul(S1H, b1, precision=PRECISION)                 # (M1H, 2)
+    ub_f = jnp.fft.fft(ub, axis=0)
+    ub_s = jnp.fft.ifft(
+        ub_f * jnp.exp(2j * jnp.pi * f1H * deltaH[0]).astype(cdt)[:, None], axis=0)
+    brow = jax.lax.slice_in_dim(ub_s, pad, pad + d, axis=0)       # (d, 2)
+
+    p1_safe = jnp.maximum(p1v, tiny)
+    B = (B1[:, :, :, None] * brow[None, :, None, :]) / jnp.sqrt(p1_safe).astype(cdt)
+    B = B.reshape(a, d, 2 * k)  # composite right bond (k major, s minor)
+
+    # Second homodyne: the commuted trailing R2(+a1) and the measurement
+    # pre-rotation R2(-a2) compose to a single net rotation by (a1 - a2).
+    theta2 = a1 - a2
+    static2 = not isinstance(a2, jax.core.Tracer)
+    if not (static2 and abs(float(a1) - float(a2)) < 1e-12):
+        B = rotation(qs, B, theta2, axis=1)
+
+    Bd = jnp.einsum("pa,ajc->pjc", jnp.conj(S_L), B, precision=PRECISION)
+    Bd = jnp.einsum("pjks,kg,st->pjgt", Bd.reshape(-1, d, k, 2), S_E, S_G,
+                    precision=PRECISION)
+    rho2 = jnp.clip(jnp.sum(jnp.abs(Bd) ** 2, axis=(0, 2, 3)), 0.0, None) * dq ** L0
+    dist2 = rho2 * dq
+    if force is not None:
+        j_star = jnp.asarray(force[1])
+    else:
+        j_star = jax.random.categorical(k2, jnp.log(dist2))
+    m2 = qs[j_star]
+    p2v = rho2[j_star]
+
+    M = jax.lax.dynamic_index_in_dim(B, j_star, axis=1, keepdims=False)
+    M = M / jnp.sqrt(jnp.maximum(p2v, tiny)).astype(cdt)
+    # Exact contraction with the structured second Bell tensor:
+    # out[a, x, k] = sum_s M[a, (k, s)] bell[x, s].
+    out = jnp.einsum("aks,xs->axk", M.reshape(a, k, 2), bell.astype(cdt),
+                     precision=PRECISION)
+
+    new_tensors = list(tensors)
+    new_tensors[idx] = out
+    if diagnostics:
+        return new_tensors, m1, m2, {"rho1": rho1, "rho2": rho2,
+                                     "p1": p1v, "p2": p2v,
+                                     "i": i_star, "j": j_star}
+    return new_tensors, m1, m2

@@ -1,0 +1,149 @@
+"""Fused single-mode gadget vs the eager exact-SVD gadget path.
+
+The fused executor (ops/fused_gadget.py) must reproduce the conventional
+Bell-insert + BS + two-homodyne sequence exactly (up to interpolation
+convention) when the conventional path runs with NO truncation. Outcomes are
+forced (post-selected) on both paths so states and probabilities compare
+deterministically.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from quantum_computations_tpu.config import SVDOptions
+from quantum_computations_tpu.cv import gates as cvg
+from quantum_computations_tpu.cv.mps import MPS
+from quantum_computations_tpu.cv.states import State as CVState
+from quantum_computations_tpu.gkp import db2eps
+from quantum_computations_tpu.gkp.compiled import _insert_bell
+from quantum_computations_tpu.ops import interp
+from quantum_computations_tpu.ops.fused_gadget import fused_single_gadget
+
+QS = np.linspace(-10.0, 10.0, 160)
+EPS = db2eps(8.0)
+EXACT = SVDOptions(max_bond_dim=4096, rel_err=0.0, abs_err=0.0)
+KEY = jax.random.PRNGKey(7)
+
+
+def _bell(c1=1.0):
+    zero = CVState.GKP_ZERO.eval(jnp.asarray(QS), EPS)
+    one = CVState.GKP_ONE.eval(jnp.asarray(QS), EPS)
+    return jnp.stack([2 ** (-1 / 4) * zero, 2 ** (-1 / 4) * c1 * one], axis=-1)
+
+
+def _entangled_chain():
+    """Two GKP modes entangled by an exact CZ (moderate bond truncation is
+    fine — both paths start from the SAME chain)."""
+    plus = CVState.GKP_PLUS.eval(jnp.asarray(QS), EPS).reshape(1, -1, 1)
+    zero = CVState.GKP_ZERO.eval(jnp.asarray(QS), EPS).reshape(1, -1, 1)
+    mps = MPS(QS, [plus, zero])
+    cvg.CZ(0, 1).apply(mps, key=KEY,
+                       svd_options=SVDOptions(max_bond_dim=24, rel_err=1e-8))
+    return mps.tensors
+
+
+def _eager_gadget(tensors, idx, a1, a2, i_f, j_f):
+    """Reference path: exact-SVD Bell insert + BS + two forced homodynes."""
+    mps = MPS(QS, list(tensors))
+    _insert_bell(mps, idx + 1, 1.0, EPS, EXACT, KEY)
+    cvg.BS(idx, idx + 1).apply(mps, key=KEY, svd_options=EXACT)
+    if a1 != 0.0:
+        mps[idx] = interp.rotation(jnp.asarray(QS), mps[idx], -a1, axis=1)
+    rho1 = np.clip(np.asarray(mps.partial_density_mps(idx)).diagonal().real, 0, None)
+    r1 = cvg.Mq(idx, result=float(QS[i_f])).apply(mps, key=KEY)
+    mps[idx] = interp.rotation(jnp.asarray(QS), mps[idx], -a2, axis=1)
+    rho2 = np.clip(np.asarray(mps.partial_density_mps(idx)).diagonal().real, 0, None)
+    r2 = cvg.Mq(idx, result=float(QS[j_f])).apply(mps, key=KEY)
+    return mps, (float(r1.probability), float(r2.probability)), (rho1, rho2)
+
+
+def _dense(tensors):
+    """Contract a short chain to a dense vector."""
+    res = jnp.asarray(tensors[0])
+    for t in tensors[1:]:
+        res = jnp.tensordot(res, jnp.asarray(t), axes=(res.ndim - 1, 0))
+    return np.asarray(res).reshape(-1)
+
+
+@pytest.mark.parametrize("idx,a1,a2", [
+    (0, 0.0, np.pi / 2),            # identity/P-family gadget on the left mode
+    (1, 0.0, float(np.arctan(2))),  # P gadget on the right mode
+    (0, np.pi / 4, -np.pi / 4),     # Hadamard gadget angles
+])
+def test_fused_matches_eager_exact(idx, a1, a2):
+    tensors = _entangled_chain()
+
+    # choose outcomes at the eager distribution's mass so probabilities are
+    # well away from underflow
+    probe = _eager_gadget(tensors, idx, a1, a2, 0, 0)
+    i_f = int(np.argmax(probe[2][0]))
+    probe = _eager_gadget(tensors, idx, a1, a2, i_f, 0)
+    j_f = int(np.argmax(probe[2][1]))
+
+    eager_mps, (p1_e, p2_e), (rho1_e, _) = _eager_gadget(
+        tensors, idx, a1, a2, i_f, j_f)
+    fused_tensors, m1, m2, diag = fused_single_gadget(
+        list(tensors), idx, QS, _bell(), a1, a2, KEY, force=(i_f, j_f),
+        diagnostics=True)
+
+    assert np.isclose(float(m1), QS[i_f]) and np.isclose(float(m2), QS[j_f])
+
+    # first-homodyne distribution agrees with the exact-SVD partial density
+    rho1_f = np.asarray(diag["rho1"])
+    scale = max(rho1_e.max(), 1e-30)
+    np.testing.assert_allclose(rho1_f / scale, rho1_e / scale, atol=2e-4)
+
+    assert np.isclose(float(diag["p1"]), p1_e, rtol=2e-4, atol=1e-9)
+    assert np.isclose(float(diag["p2"]), p2_e, rtol=5e-4, atol=1e-9)
+
+    # final collapsed chains agree (the fused output replaces the input mode
+    # in place; the eager chain has the same mode count after two collapses)
+    assert len(fused_tensors) == len(eager_mps.tensors)
+    v_e, v_f = _dense(eager_mps.tensors), _dense(fused_tensors)
+    assert v_e.shape == v_f.shape
+    # States must match up to a GLOBAL phase: the rotation kernel
+    # (ops/interp.rotation) omits the Namias theta-dependent scalar phase, and
+    # the fused path composes a different rotation sequence
+    # (R(-a1) (x) R(-a1) then R(a1-a2)) than the eager path (R(-a1), R(-a2)),
+    # so the two trajectories differ by a constant phase for a1 != 0.
+    # Physically irrelevant: readout is a density matrix.
+    overlap = np.vdot(v_e, v_f)
+    n_e, n_f = np.linalg.norm(v_e), np.linalg.norm(v_f)
+    assert abs(overlap) / (n_e * n_f) > 1 - 1e-6
+    v_f = v_f * np.exp(-1j * np.angle(overlap))
+    np.testing.assert_allclose(v_f, v_e, atol=5e-4 * np.abs(v_e).max())
+
+
+def test_fused_output_shape_preserved():
+    tensors = _entangled_chain()
+    out, _, _ = fused_single_gadget(list(tensors), 0, QS, _bell(), 0.0,
+                                    np.pi / 2, KEY)
+    assert [t.shape for t in out] == [t.shape for t in tensors]
+
+
+def test_fused_engine_single_qubit_vs_dv():
+    """Batched engine with fused gadgets matches the DV simulator (fast,
+    single-qubit H circuit)."""
+    from quantum_computations_tpu.dv import Simulator as DVSimulator, State as DVState, gates as dvg, qop
+    from quantum_computations_tpu.gkp import MBGKPCircuit
+    from quantum_computations_tpu.gkp.batched import BatchedGKP
+    from quantum_computations_tpu.gkp.compiled import logical_coeffs
+
+    gates = [dvg.H(0), dvg.P(0)]
+    circ = MBGKPCircuit.transpile(gates, 1)
+    circ.fill()
+    runner = BatchedGKP(np.linspace(-20, 20, 300), db2eps(10.0),
+                        SVDOptions(max_bond_dim=8, rel_err=1e-2),
+                        fused_single=True)
+    assert runner.fused_single
+    coeffs = logical_coeffs([DVState.ZERO])
+    tensors, frames = runner.run_circuit(circ, coeffs, 4, rng_seed=11)
+    assert any(k[0] == "fused_single" for k in runner._cache)
+    rho_re, rho_im = runner.readout(tensors, frames)
+    rhos = np.asarray(rho_re) + 1j * np.asarray(rho_im)
+    assert np.all(np.isfinite(rhos))
+    want = np.asarray(DVSimulator(gates).run([DVState.ZERO]))
+    fids = [float(qop.fidelity(jnp.asarray(want), jnp.asarray(r))) for r in rhos]
+    assert np.mean(fids) > 0.7, fids
