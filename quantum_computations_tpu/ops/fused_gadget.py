@@ -101,12 +101,14 @@ def _stretch_sample_matrix(qs: np.ndarray, stretch: float, refine: int, pad: int
     with ``h = stretch*dq/refine``; the core points ``xi = stretch*q_j`` sit at
     ``m = refine*(pad + j)``. Points outside the original domain are zeroed
     (gather zero-fill semantics) so Fourier shifts wrap only zeros/tails.
+    ``M = refine*(d + 2 pad)`` keeps the FFT length even/smooth (the minimal
+    ``M - refine + 1`` is odd and often prime — pathological for the TPU FFT).
     Returns (S (M, d) float, M, h).
     """
     d = int(qs.shape[0])
     dq = float((qs[-1] - qs[0]) / (d - 1))
     h = stretch * dq / refine
-    M = refine * (d + 2 * pad) - (refine - 1)
+    M = refine * (d + 2 * pad)
     xi = stretch * float(qs[0]) + (np.arange(M) - refine * pad) * h
     S = np.sinc((xi[:, None] - np.asarray(qs)[None, :]) / dq)
     inside = (xi >= float(qs[0]) - 1e-9) & (xi <= float(qs[-1]) + 1e-9)
@@ -172,7 +174,9 @@ def fused_single_gadget(tensors, idx: int, qs, bell, a1, a2, key, *,
                      precision=PRECISION).reshape(d, a * k)
     b1d = jnp.matmul(b1, S_G, precision=PRECISION)       # (d, 2)
 
-    pad = d // 2 + 1
+    # Padding must absorb the largest Fourier shift (|c q_i| on the
+    # s-stretched grid and vice versa) so wraps touch only zeros/tails.
+    pad = int(np.ceil(max(cth / sth, sth / cth) * (d - 1) / 2)) + 1
     S2G, MG, hG = _stretch_sample_matrix(qs_np, sth, 2, pad)
     S2H, MH, hH = _stretch_sample_matrix(qs_np, cth, 2, pad)
     S2G = jnp.asarray(S2G, dtype=t1.real.dtype)
