@@ -32,7 +32,7 @@ from ..cv import gates as cvg
 from ..cv.mps import MPS
 from ..dv import gates as dv_gates
 from ..dv.simulator import ClassicalControl
-from ..ops.fused_gadget import fused_single_gadget
+from ..ops.fused_gadget import fused_pair_measure2, fused_single_gadget
 from ..utils import as_key
 from ..utils.profiling import span
 from .compiled import ARCTAN2, _homodyne, _insert_bell, _syndrome_from, _two_mode_gadget
@@ -46,12 +46,17 @@ SQPI = np.sqrt(np.pi)
 # no SVD at all — ops/fused_gadget.py). Default ON; QCT_FUSED_SINGLE=0
 # restores the split bell/BS-SVD/homodyne op path for A/B comparison.
 _FUSED_SINGLE_DEFAULT = os.environ.get("QCT_FUSED_SINGLE", "1") == "1"
+# Fused measure-out of the macronode's last two beamsplitters (each followed
+# by homodynes on both operands — fused_pair_measure2). QCT_FUSED_PAIR=0
+# restores the streamed-BS + homodyne op path.
+_FUSED_PAIR_DEFAULT = os.environ.get("QCT_FUSED_PAIR", "1") == "1"
 
 
 class BatchedGKP:
     def __init__(self, qs, ancilla_epsilon, svd_options: SVDOptions | dict | None = None,
                  *, adaptive: bool = False, granularity: str = "gadget",
-                 fused_single: bool | None = None):
+                 fused_single: bool | None = None,
+                 fused_pair: bool | None = None):
         """adaptive=True enables rank-adaptive bond trimming: true bond ranks
         are measured on-device (integer fetch), the batch-maximum is bucketed,
         and tensors are sliced by cached executors. This restores dynamic-rank
@@ -79,6 +84,8 @@ class BatchedGKP:
         self.granularity = granularity
         self.fused_single = (_FUSED_SINGLE_DEFAULT if fused_single is None
                              else bool(fused_single))
+        self.fused_pair = (_FUSED_PAIR_DEFAULT if fused_pair is None
+                           else bool(fused_pair))
         self._cache: dict = {}
 
     def _eps_arr(self, batch: int) -> np.ndarray:
@@ -263,12 +270,31 @@ class BatchedGKP:
                                  m_a.astype(np.float64), m_b.astype(np.float64))
         return tensors, synd
 
+    def _op_fused_pair(self, tensors, m, a1, a2, keys):
+        """Fused BS(m, m+1) + homodynes on both pair modes (static angles)."""
+        sig = ("fused_pair", m, float(a1), float(a2), self._shapes(tensors))
+
+        def body(tt, key):
+            new_tensors, m1, m2 = fused_pair_measure2(
+                list(tt), m, self.qs, a1, a2, key)
+            return tuple(new_tensors), jnp.stack([m1, m2])
+
+        fn = self._get(sig, body)
+        with span("op:fused_pair"):
+            out_t, ms = fn(tuple(tensors), keys)
+        with span("op:fused_pair_fetch"):
+            ms = np.asarray(ms)
+        return self._maybe_trim(list(out_t)), ms[:, 0], ms[:, 1]
+
     def _two_ops(self, tensors, idx, mb2type: MB2Type, keys):
         """Macronode gadget composed of op-level executors with trims.
 
         Between-op trimming keeps every BS contraction at true-rank sizes —
         at production parameters the whole-gadget executor would materialise
-        (cap, d, d, cap) regardless of data."""
+        (cap, d, d, cap) regardless of data. With ``fused_pair`` the third and
+        fourth beamsplitters (whose operands are both measured immediately)
+        run through the SVD-free fused pair-measure executor instead of a
+        streamed split + two homodyne ops."""
         ta, tc, tb, td = mb2type.angles()
         batch_probe = tensors[0].shape[0]
         ones = np.ones(batch_probe, np.float32)
@@ -277,12 +303,16 @@ class BatchedGKP:
         tensors = self._op_insert_bell(tensors, idx + 4, 0.0 * ones, ks[1])
         tensors = self._op_bs(tensors, idx + 2, idx + 1, ks[2])
         tensors = self._op_bs(tensors, idx + 3, idx + 4, ks[3])
-        tensors = self._op_bs(tensors, idx + 2, idx + 3, ks[4])
-        tensors, m_a = self._op_homodyne(tensors, idx + 2, ta * ones, ks[5], a_zero=(ta == 0.0))
-        tensors, m_c = self._op_homodyne(tensors, idx + 2, tc * ones, ks[6], a_zero=(tc == 0.0))
-        tensors = self._op_bs(tensors, idx + 1, idx + 2, ks[7])
-        tensors, m_b = self._op_homodyne(tensors, idx + 1, tb * ones, ks[8], a_zero=(tb == 0.0))
-        tensors, m_d = self._op_homodyne(tensors, idx + 1, td * ones, ks[9], a_zero=(td == 0.0))
+        if self.fused_pair:
+            tensors, m_a, m_c = self._op_fused_pair(tensors, idx + 2, ta, tc, ks[4])
+            tensors, m_b, m_d = self._op_fused_pair(tensors, idx + 1, tb, td, ks[7])
+        else:
+            tensors = self._op_bs(tensors, idx + 2, idx + 3, ks[4])
+            tensors, m_a = self._op_homodyne(tensors, idx + 2, ta * ones, ks[5], a_zero=(ta == 0.0))
+            tensors, m_c = self._op_homodyne(tensors, idx + 2, tc * ones, ks[6], a_zero=(tc == 0.0))
+            tensors = self._op_bs(tensors, idx + 1, idx + 2, ks[7])
+            tensors, m_b = self._op_homodyne(tensors, idx + 1, tb * ones, ks[8], a_zero=(tb == 0.0))
+            tensors, m_d = self._op_homodyne(tensors, idx + 1, td * ones, ks[9], a_zero=(td == 0.0))
 
         ma, mb_, mc, md = (x.astype(np.float64) for x in (m_a, m_b, m_c, m_d))
         mu_ab = 1j * (ma * np.exp(1j * tb) + mb_ * np.exp(1j * ta)) / np.sin(ta - tb)
@@ -295,7 +325,7 @@ class BatchedGKP:
         return tensors, synd
 
     def _two(self, tensors, idx, mb2type: MB2Type, keys):
-        if self.granularity == "op":
+        if self.granularity == "op" or self.fused_pair:
             return self._two_ops(tensors, idx, mb2type, keys)
         sig = ("two", idx, mb2type, self._shapes(tensors))
 

@@ -67,7 +67,7 @@ from ..config import PRECISION, complex_dtype
 from .interp import rotation
 from .linalg import _ns_inv_sqrt
 
-__all__ = ["fused_single_gadget"]
+__all__ = ["fused_single_gadget", "fused_pair_measure2"]
 
 
 def _psd_sqrt(G: jax.Array) -> jax.Array:
@@ -281,6 +281,198 @@ def fused_single_gadget(tensors, idx: int, qs, bell, a1, a2, key, *,
 
     new_tensors = list(tensors)
     new_tensors[idx] = out
+    if diagnostics:
+        return new_tensors, m1, m2, {"rho1": rho1, "rho2": rho2,
+                                     "p1": p1v, "p2": p2v,
+                                     "i": i_star, "j": j_star}
+    return new_tensors, m1, m2
+
+
+def _rotation_kernel_row(qs, theta: float, q_m):
+    """One row of the ops/interp.rotation kernel at (possibly traced) output
+    coordinate ``q_m``, including the dq measure: applying it along an axis
+    equals slicing ``rotation(qs, ., theta, axis)`` at the grid point q_m."""
+    d = qs.shape[0]
+    dq = (qs[-1] - qs[0]) / (d - 1)
+    theta = jnp.asarray(theta)
+    exponent = jnp.cos(theta) * (qs ** 2 + q_m ** 2) / 2.0 - q_m * qs
+    row = (2 * jnp.pi * jnp.abs(jnp.sin(theta))) ** -0.5 * jnp.exp(
+        exponent / (1j * jnp.sin(theta)))
+    return row * dq
+
+
+def fused_pair_measure2(tensors, m: int, qs, a1, a2, key, *,
+                        bs_angle: float = np.pi / 4, force=None,
+                        diagnostics: bool = False):
+    """BS(m, m+1) followed by homodynes on BOTH pair modes, SVD-free.
+
+    The generic companion of :func:`fused_single_gadget` for the macronode
+    two-mode gadget (reference ``gkp_simulator/gates.py:130-200``): its third
+    and fourth beamsplitters are each followed immediately by homodynes on
+    both operand modes, so the post-BS pair never needs an SVD split either —
+    but here the operands are generic SVD factors sharing a contracted bond
+    ``k``, so the distribution does not factorise into 1-D tabulations.
+    Instead the virtual post-BS pair is evaluated line by line (Fourier shift
+    + core slice of padded stretched tabulations of the factor lines) and
+    contracted per grid column — no streamed subspace iteration, no Gram
+    fetch, no truncation loss.
+
+    Two exact paths, chosen by the STATIC first homodyne angle ``a1``:
+
+    - ``a1 == 0`` (CZ/PP first pair, SWAP second pair): scan the measured
+      mode's rows directly,
+      ``p1(i) ~ sum_j ||W1[:, i, j, :] @ W2[:, i, j, :]||_F^2``.
+    - ``a1 != 0`` (SWAP first pair, CZ/PP second pair): scanning rotated
+      quadratures would require pre-rotating the factor tensors, which
+      aliases badly for chirped (entangled) factors; instead the TRUE
+      fractional-Fourier kernel is applied along the virtual x-lines per
+      grid column y — mathematically identical to the conventional
+      rotate-then-measure sequence.
+
+    The collapse conditions on the sampled row, measures the second mode on
+    the materialised (a, d, c) conditional tensor (kernel rotation by
+    ``-a2``, which may be traced), and absorbs the final (a, c) matrix into a
+    neighbour by the ``Mq`` smaller-intermediate rule. Returns
+    ``(new_tensors, m1, m2[, diag])`` with the pair removed.
+    """
+    t1, t2 = tensors[m], tensors[m + 1]
+    a, d, k = t1.shape
+    c = t2.shape[-1]
+    L0 = len(tensors)
+    qs_np = np.asarray(qs)
+    qs = jnp.asarray(qs_np)
+    dq = float((qs_np[-1] - qs_np[0]) / (d - 1))
+    cth, sth = float(np.cos(bs_angle)), float(np.sin(bs_angle))
+    cdt = t1.dtype
+    rdt = t1.real.dtype
+    tiny = jnp.finfo(rdt).tiny
+    a1 = float(a1)
+    k1, k2 = jax.random.split(key)
+
+    S_L = _psd_sqrt(_left_env(tensors[:m]))              # (a, a)
+    S_R = _psd_sqrt(_right_env(tensors[m + 2:]))         # (c, c)
+    t1e = jnp.einsum("pa,aik->pik", jnp.conj(S_L), t1, precision=PRECISION)
+    t2e = jnp.einsum("kic,cg->kig", t2, S_R, precision=PRECISION)
+
+    pad = int(np.ceil(max(cth / sth, sth / cth) * (d - 1) / 2)) + 1
+
+    def _make_tab(stretch):
+        S, M, h = _stretch_sample_matrix(qs_np, stretch, 1, pad)
+        S = jnp.asarray(S, dtype=rdt)
+        freqs = jnp.fft.fftfreq(M, d=h).astype(rdt)
+        return S, freqs
+
+    def _tab(lines_d_first, S):
+        """(d, n) lines -> FFT'd padded stretched tabulation (M, n)."""
+        return jnp.fft.fft(jnp.matmul(S, lines_d_first, precision=PRECISION),
+                           axis=0)
+
+    def _row(f_tab, freqs, delta, shape, flip=False):
+        ph = jnp.exp(2j * jnp.pi * freqs * delta).astype(cdt)
+        w = jnp.fft.ifft(f_tab * ph[:, None], axis=0)
+        w = jax.lax.slice_in_dim(w, pad, pad + d, axis=0)
+        if flip:
+            # f(-|s| q_x + delta) on a symmetric grid = reversed core slice
+            w = jnp.flip(w, axis=0)
+        return w.reshape((d,) + shape)
+
+    lines1 = jnp.permute_dims(t1, (1, 0, 2)).reshape(d, a * k)
+    lines2 = jnp.permute_dims(t2, (1, 0, 2)).reshape(d, k * c)
+    lines1e = jnp.permute_dims(t1e, (1, 0, 2)).reshape(d, a * k)
+    lines2e = jnp.permute_dims(t2e, (1, 0, 2)).reshape(d, k * c)
+
+    if a1 == 0.0:
+        # -- fast path: scan the measured mode's grid rows directly --------
+        SG, freqsG = _make_tab(sth)   # t1 lines as functions of j (stretch s)
+        SH, freqsH = _make_tab(cth)   # t2 lines as functions of j (stretch c)
+        f1e = _tab(lines1e, SG)
+        f2e = _tab(lines2e, SH)
+
+        def p1_body(i, acc):
+            W1 = _row(f1e, freqsG, cth * qs[i], (a, k))      # (d_j, a, k)
+            W2 = _row(f2e, freqsH, -sth * qs[i], (k, c))     # (d_j, k, c)
+            C = jnp.einsum("jak,jkc->jac", W1, W2, precision=PRECISION)
+            return acc.at[i].set(jnp.sum(jnp.abs(C) ** 2))
+
+        p1_raw = jax.lax.fori_loop(0, d, p1_body, jnp.zeros((d,), rdt))
+    else:
+        # -- exact-kernel path: apply the frFT kernel along virtual x-lines
+        if not np.allclose(qs_np + qs_np[::-1], 0.0, atol=1e-9):
+            raise ValueError("fused pair measure with a1 != 0 needs a "
+                             "symmetric grid")
+        SC, freqsC = _make_tab(cth)   # t1 lines as functions of x (stretch c)
+        SSn, freqsS = _make_tab(sth)  # t2 lines as functions of x (stretch -s, via flip)
+        f1eC = _tab(lines1e, SC)
+        f2eS = _tab(lines2e, SSn)
+
+        def p1_body(y, acc):
+            W1 = _row(f1eC, freqsC, sth * qs[y], (a, k))            # t1e(c q_x + s q_y)
+            W2 = _row(f2eS, freqsS, cth * qs[y], (k, c), flip=True)  # t2e(-s q_x + c q_y)
+            Ay = jnp.einsum("xak,xkc->xac", W1, W2, precision=PRECISION)
+            phi = rotation(qs, Ay, -a1, axis=0)                      # (d_m, a, c)
+            return acc + jnp.sum(jnp.abs(phi) ** 2, axis=(1, 2))
+
+        p1_raw = jax.lax.fori_loop(0, d, p1_body, jnp.zeros((d,), rdt))
+
+    rho1 = jnp.clip(p1_raw, 0.0, None) * dq ** (L0 - 1)
+    dist1 = rho1 * dq
+    if force is not None:
+        i_star = jnp.asarray(force[0])
+    else:
+        i_star = jax.random.categorical(k1, jnp.log(dist1))
+    m1 = qs[i_star]
+    p1v = rho1[i_star]
+
+    # Collapse from the RAW (undressed) factors at the sampled outcome.
+    if a1 == 0.0:
+        f1r = _tab(lines1, SG)
+        f2r = _tab(lines2, SH)
+        W1r = _row(f1r, freqsG, cth * m1, (a, k))
+        W2r = _row(f2r, freqsH, -sth * m1, (k, c))
+        B = jnp.einsum("jak,jkc->ajc", W1r, W2r, precision=PRECISION)
+    else:
+        f1rC = _tab(lines1, SC)
+        f2rS = _tab(lines2, SSn)
+        krow = _rotation_kernel_row(qs, -a1, m1).astype(cdt)         # (d_x,)
+
+        def c_body(y, B):
+            W1 = _row(f1rC, freqsC, sth * qs[y], (a, k))
+            W2 = _row(f2rS, freqsS, cth * qs[y], (k, c), flip=True)
+            Ay = jnp.einsum("xak,xkc->xac", W1, W2, precision=PRECISION)
+            by = jnp.einsum("x,xac->ac", krow, Ay, precision=PRECISION)
+            return jax.lax.dynamic_update_slice(B, by[:, None, :], (0, y, 0))
+
+        B = jax.lax.fori_loop(0, d, c_body, jnp.zeros((a, d, c), cdt))
+
+    B = B / jnp.sqrt(jnp.maximum(p1v, tiny)).astype(cdt)
+
+    static2 = not isinstance(a2, jax.core.Tracer)
+    if not (static2 and abs(float(a2)) < 1e-12):
+        B = rotation(qs, B, -a2, axis=1)
+
+    Bd = jnp.einsum("pa,ajc,cg->pjg", jnp.conj(S_L), B, S_R, precision=PRECISION)
+    rho2 = jnp.clip(jnp.sum(jnp.abs(Bd) ** 2, axis=(0, 2)), 0.0, None) * dq ** (L0 - 2)
+    dist2 = rho2 * dq
+    if force is not None:
+        j_star = jnp.asarray(force[1])
+    else:
+        j_star = jax.random.categorical(k2, jnp.log(dist2))
+    m2 = qs[j_star]
+    p2v = rho2[j_star]
+
+    M = jax.lax.dynamic_index_in_dim(B, j_star, axis=1, keepdims=False)
+    M = M / jnp.sqrt(jnp.maximum(p2v, tiny)).astype(cdt)
+
+    # Absorb into a neighbour (Mq smaller-intermediate rule, cv/gates.py).
+    new_tensors = list(tensors)
+    del new_tensors[m:m + 2]
+    has_left, has_right = m > 0, m + 2 < L0
+    if not (has_left or has_right):
+        raise ValueError("fused_pair_measure2 cannot remove the whole chain")
+    if has_left and (a >= c or not has_right):
+        new_tensors[m - 1] = jnp.tensordot(tensors[m - 1], M, axes=(2, 0))
+    else:
+        new_tensors[m] = jnp.tensordot(M, tensors[m + 2], axes=(1, 0))
     if diagnostics:
         return new_tensors, m1, m2, {"rho1": rho1, "rho2": rho2,
                                      "p1": p1v, "p2": p2v,

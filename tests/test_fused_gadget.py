@@ -19,7 +19,8 @@ from quantum_computations_tpu.cv.states import State as CVState
 from quantum_computations_tpu.gkp import db2eps
 from quantum_computations_tpu.gkp.compiled import _insert_bell
 from quantum_computations_tpu.ops import interp
-from quantum_computations_tpu.ops.fused_gadget import fused_single_gadget
+from quantum_computations_tpu.ops.fused_gadget import (fused_pair_measure2,
+                                                       fused_single_gadget)
 
 QS = np.linspace(-10.0, 10.0, 160)
 EPS = db2eps(8.0)
@@ -121,6 +122,91 @@ def test_fused_output_shape_preserved():
     out, _, _ = fused_single_gadget(list(tensors), 0, QS, _bell(), 0.0,
                                     np.pi / 2, KEY)
     assert [t.shape for t in out] == [t.shape for t in tensors]
+
+
+def _eager_pair(tensors, m, a1, a2, i_f, j_f):
+    """Reference for the generic pair measure: exact BS + two forced Mq."""
+    mps = MPS(QS, list(tensors))
+    cvg.BS(m, m + 1).apply(mps, key=KEY, svd_options=EXACT)
+    if a1 != 0.0:
+        mps[m] = interp.rotation(jnp.asarray(QS), mps[m], -a1, axis=1)
+    rho1 = np.clip(np.asarray(mps.partial_density_mps(m)).diagonal().real, 0, None)
+    r1 = cvg.Mq(m, result=float(QS[i_f])).apply(mps, key=KEY)
+    if a2 != 0.0:
+        mps[m] = interp.rotation(jnp.asarray(QS), mps[m], -a2, axis=1)
+    rho2 = np.clip(np.asarray(mps.partial_density_mps(m)).diagonal().real, 0, None)
+    r2 = cvg.Mq(m, result=float(QS[j_f])).apply(mps, key=KEY)
+    return mps, (float(r1.probability), float(r2.probability)), (rho1, rho2)
+
+
+def _four_mode_chain():
+    """[plus, zero, plus, zero] entangled by two exact CZs — a stand-in for
+    the macronode's chain right before its third beamsplitter."""
+    states = [CVState.GKP_PLUS, CVState.GKP_ZERO, CVState.GKP_PLUS, CVState.GKP_ZERO]
+    mps = MPS(QS, [s.eval(jnp.asarray(QS), EPS).reshape(1, -1, 1) for s in states])
+    opts = SVDOptions(max_bond_dim=16, rel_err=1e-8)
+    cvg.CZ(0, 1).apply(mps, key=KEY, svd_options=opts)
+    cvg.CZ(2, 3).apply(mps, key=KEY, svd_options=opts)
+    cvg.CZ(1, 2).apply(mps, key=KEY, svd_options=opts)
+    return mps.tensors
+
+
+@pytest.mark.slow  # the exact-SVD eager reference takes ~2.5 min per case
+@pytest.mark.parametrize("m,a1,a2", [
+    (1, 0.0, float(np.arctan(2))),                    # a1 = 0 fast path
+    (1, -np.pi / 2, 0.0),                             # SWAP first pair (kernel path)
+    (1, float(np.arctan(2)), -float(np.arctan(2))),   # CZ second pair (kernel path)
+])
+def test_fused_pair_matches_eager_exact(m, a1, a2):
+    tensors = _four_mode_chain()
+
+    probe = _eager_pair(tensors, m, a1, a2, 0, 0)
+    i_f = int(np.argmax(probe[2][0]))
+    probe = _eager_pair(tensors, m, a1, a2, i_f, 0)
+    j_f = int(np.argmax(probe[2][1]))
+
+    eager_mps, (p1_e, p2_e), (rho1_e, _) = _eager_pair(tensors, m, a1, a2, i_f, j_f)
+    fused_tensors, m1, m2, diag = fused_pair_measure2(
+        list(tensors), m, QS, a1, a2, KEY, force=(i_f, j_f), diagnostics=True)
+
+    assert np.isclose(float(m1), QS[i_f]) and np.isclose(float(m2), QS[j_f])
+    rho1_f = np.asarray(diag["rho1"])
+    scale = max(rho1_e.max(), 1e-30)
+    np.testing.assert_allclose(rho1_f / scale, rho1_e / scale, atol=2e-4)
+    assert np.isclose(float(diag["p1"]), p1_e, rtol=3e-4, atol=1e-9)
+    assert np.isclose(float(diag["p2"]), p2_e, rtol=1e-3, atol=1e-9)
+
+    assert len(fused_tensors) == len(eager_mps.tensors)
+    v_e, v_f = _dense(eager_mps.tensors), _dense(fused_tensors)
+    overlap = np.vdot(v_e, v_f)
+    assert abs(overlap) / (np.linalg.norm(v_e) * np.linalg.norm(v_f)) > 1 - 1e-6
+    v_f = v_f * np.exp(-1j * np.angle(overlap))
+    np.testing.assert_allclose(v_f, v_e, atol=5e-4 * np.abs(v_e).max())
+
+
+def test_fused_engine_two_qubit_vs_dv():
+    """Batched engine with fused pair measures matches DV on a CZ circuit."""
+    from quantum_computations_tpu.dv import Simulator as DVSimulator, State as DVState, gates as dvg, qop
+    from quantum_computations_tpu.gkp import MBGKPCircuit
+    from quantum_computations_tpu.gkp.batched import BatchedGKP
+    from quantum_computations_tpu.gkp.compiled import logical_coeffs
+
+    gates = [dvg.H(0), dvg.CZ(0, 1)]
+    circ = MBGKPCircuit.transpile(gates, 2)
+    circ.fill()
+    runner = BatchedGKP(np.linspace(-20, 20, 300), db2eps(10.0),
+                        SVDOptions(max_bond_dim=8, rel_err=1e-2),
+                        adaptive=True, granularity="op",
+                        fused_single=True, fused_pair=True)
+    coeffs = logical_coeffs([DVState.ZERO, DVState.ZERO])
+    tensors, frames = runner.run_circuit(circ, coeffs, 3, rng_seed=9)
+    assert any(k[0] == "fused_pair" for k in runner._cache)
+    rho_re, rho_im = runner.readout(tensors, frames)
+    rhos = np.asarray(rho_re) + 1j * np.asarray(rho_im)
+    assert np.all(np.isfinite(rhos))
+    want = np.asarray(DVSimulator(gates).run([DVState.ZERO, DVState.ZERO]))
+    fids = [float(qop.fidelity(jnp.asarray(want), jnp.asarray(r))) for r in rhos]
+    assert np.mean(fids) > 0.55, fids
 
 
 def test_fused_engine_single_qubit_vs_dv():
