@@ -61,6 +61,16 @@ _POWER_ITERS_ENV = _os.environ.get("QCT_STREAM_POWER_ITERS")
 # iterate; the final factor-producing round always runs at config.PRECISION.
 _SKETCH_PRECISION = jax.lax.Precision.DEFAULT
 
+# Where the (l x l) Gram eigendecomposition runs. "host" (default) fetches
+# the Gram and eigendecomposes in numpy between the iterate and assemble
+# programs — two dispatches + one device->host sync per split. "device"
+# inlines a realified-Gram eigh into ONE fused program: no fetch at all.
+# The device eigh costs a long one-time remote compile per Gram shape, but
+# at production the cap is pinned (l = chi + OVERSAMPLE), so the persistent
+# compile cache amortises it; the round-3 attribution showed the Gram fetch
+# sync alone at ~34% of trajectory time.
+_EIGH_MODE = _os.environ.get("QCT_STREAM_EIGH", "host")
+
 
 def effective_power_iters(q: int) -> int:
     return int(_POWER_ITERS_ENV) if _POWER_ITERS_ENV else q
@@ -334,6 +344,96 @@ def _get_programs(sig):
     return progs
 
 
+_FUSED_PROGRAMS: dict[tuple, object] = {}
+
+
+def _get_fused_program(sig):
+    """One jitted program per signature holding iterate + realified-Gram eigh
+    + truncation + assembly — the QCT_STREAM_EIGH=device layout. Truncation
+    parameters are traced arguments, so one compile serves every tolerance."""
+    prog = _FUSED_PROGRAMS.get(sig)
+    if prog is not None:
+        return prog
+    (a, d, k, b, batch, dtype_str, warp_params, l, cap,
+     ac, bc, power_iters, f_pre, f_post) = sig
+    dtype = jnp.dtype(dtype_str)
+    rdtype = {jnp.dtype(jnp.complex64): jnp.float32,
+              jnp.dtype(jnp.complex128): jnp.float64}.get(jnp.dtype(dtype), dtype)
+    shapes = (a, d, k, b)
+    rows, cols = a * d, d * b
+    from .interp import fourier
+
+    def fused_fn(t1, t2, qs, key, mbd, abs_err, rel_err):
+        if f_pre[0] is not None:
+            t1 = fourier(qs, t1, axis=1, inv=f_pre[0])
+        if f_pre[1] is not None:
+            t2 = fourier(qs, t2, axis=1, inv=f_pre[1])
+        mmA_lo, mmAH_lo = _pick_sweep_fns(qs, warp_params, shapes, (ac, bc),
+                                          dtype, precision=_SKETCH_PRECISION)
+        mmA_hi, mmAH_hi = _pick_sweep_fns(qs, warp_params, shapes, (ac, bc), dtype)
+
+        def round_with(mmA, mmAH, X):
+            Xo = orthonormalize(X.reshape(cols, l), method="ns").reshape(d, b, l)
+            Q = orthonormalize(mmA(t1, t2, Xo), method="ns")
+            return mmAH(t1, t2, Q), Q
+
+        def round_body(_, carry):
+            return round_with(mmA_lo, mmAH_lo, carry[0])
+
+        X0 = jax.random.normal(key, (d, b, l), dtype=rdtype).astype(dtype)
+        Q0 = jnp.zeros((rows, l), dtype)
+        X, _ = jax.lax.fori_loop(0, power_iters, round_body, (X0, Q0))
+        X, Q = round_with(mmA_hi, mmAH_hi, X)
+        Xm = X.reshape(cols, l)
+        G = jnp.matmul(Xm.T.conj(), Xm, precision=PRECISION)  # = B B^H (l x l)
+
+        # realified-Gram eigendecomposition (mirrors _host_factor; see
+        # linalg.svd_via_eigh for the pair-extraction argument)
+        n = G.shape[0]
+        G = (G + G.T.conj()) / 2
+        split = 1e-4 if rdtype == jnp.float32 else 1e-9
+        scale = jnp.trace(G).real / max(n, 1)
+        G = G + (split * scale / max(n, 1)) * jnp.diag(
+            jnp.arange(n, dtype=rdtype))
+        M = jnp.block([[G.real, -G.imag], [G.imag, G.real]])
+        w, U2 = jnp.linalg.eigh(M)
+        w = w[::-1]
+        U2 = U2[:, ::-1]
+        V = (U2[:n, ::2] + 1j * U2[n:, ::2]).astype(dtype)
+        norms = jnp.linalg.norm(V, axis=0)
+        V = V / jnp.where(norms > 0, norms, 1.0)[None, :]
+        s = jnp.sqrt(jnp.clip(w[::2], 0.0, None))[:cap].astype(rdtype)
+        U_b = V[:, :cap]
+
+        allowed = jnp.maximum(abs_err, jnp.sum(s) * rel_err).astype(rdtype)
+        tail = jnp.cumsum(s[::-1])[::-1]
+        keep = jnp.logical_and(tail > allowed, jnp.arange(cap) < mbd)
+        rank = jnp.sum(keep).astype(jnp.int32)
+        mask = keep.astype(rdtype)
+        sq = jnp.sqrt(s)
+        sqm = sq * mask
+        ism = jnp.where(s > 0, mask / jnp.where(s > 0, sq, 1.0), 0.0)
+
+        W = jnp.matmul(Xm, U_b, precision=PRECISION)          # (cols, cap)
+        m1 = jnp.matmul(Q, U_b, precision=PRECISION) * sqm[None, :]
+        m2 = ism[:, None] * W.T.conj()
+        m1 = m1.reshape(a, d, cap)
+        m2 = m2.reshape(cap, d, b)
+        if f_post[0] is not None:
+            m1 = fourier(qs, m1, axis=1, inv=f_post[0])
+        if f_post[1] is not None:
+            m2 = fourier(qs, m2, axis=1, inv=f_post[1])
+        return m1, m2, rank
+
+    if batch:
+        prog = jax.jit(jax.vmap(fused_fn,
+                                in_axes=(0, 0, None, 0, None, None, None)))
+    else:
+        prog = jax.jit(fused_fn)
+    _FUSED_PROGRAMS[sig] = prog
+    return prog
+
+
 def _host_factor(Gr, cap, mbd, abs_err, rel_err):
     """Host-side eigendecomposition + truncation of one (2, l, l) real-pair
     Gram. Returns (ub (2, l, cap), sqm (cap,), ism (cap,), rank) with the
@@ -395,12 +495,19 @@ def _streamed_driver(t1, t2, qs, warp_params, *, max_bond_dim, abs_err,
     # reuse the same compiled programs.
     sig = (a, d, k, b, batch, str(jnp.dtype(t1.dtype)), warp_params, l, cap,
            ac, bc, int(power_iters), tuple(f_pre), tuple(f_post))
-    iterate, assemble = _get_programs(sig)
 
     from ..utils.profiling import span as _span
 
     rdtype = np.float32 if t1.dtype == jnp.complex64 else np.float64
     qs = np.asarray(qs, dtype=rdtype)
+
+    if _EIGH_MODE == "device":
+        fused = _get_fused_program(sig)
+        with _span("streamed:fused"):
+            return fused(t1, t2, qs, key, np.int32(max_bond_dim),
+                         rdtype(abs_err), rdtype(rel_err))
+
+    iterate, assemble = _get_programs(sig)
     with _span("streamed:iterate"):
         X, Q, Gr = iterate(t1, t2, qs, key)
     with _span("streamed:gram_fetch"):

@@ -208,3 +208,47 @@ def test_rot_via_cz_decomposition_physical():
         ref = np.asarray(interp.affine_warp(
             qsj, jnp.tensordot(t1, t2, axes=(2, 0)), warp))
         assert np.abs(got - ref).max() < 2e-2 * np.abs(ref).max(), warp
+
+
+def test_device_eigh_mode_matches_host(monkeypatch):
+    """QCT_STREAM_EIGH=device (fused iterate+eigh+assemble program) must
+    reproduce the host-eigh driver's split to fp tolerance."""
+    import quantum_computations_tpu.ops.streamed as st
+
+    monkeypatch.setattr(st, "_BS_DECOMP", "rot")
+    t1, t2 = _pair()
+    qs = jnp.linspace(-5, 5, 64)
+    kw = dict(max_bond_dim=8, abs_err=0.0, rel_err=1e-3,
+              key=jax.random.PRNGKey(3), power_iters=7)
+
+    m1h, m2h, rank_h = streamed_pair_svd(t1, t2, qs, ("rot", 0.7), **kw)
+    monkeypatch.setattr(st, "_EIGH_MODE", "device")
+    m1d, m2d, rank_d = streamed_pair_svd(t1, t2, qs, ("rot", 0.7), **kw)
+
+    assert int(rank_h) == int(rank_d)
+    # factors agree up to per-direction phase; compare the reconstruction
+    full_h = np.einsum("abj,jcd->abcd", np.asarray(m1h), np.asarray(m2h))
+    full_d = np.einsum("abj,jcd->abcd", np.asarray(m1d), np.asarray(m2d))
+    np.testing.assert_allclose(full_d, full_h, atol=1e-8 * np.abs(full_h).max())
+
+
+def test_device_eigh_mode_batched(monkeypatch):
+    import quantum_computations_tpu.ops.streamed as st
+    from quantum_computations_tpu.ops.streamed import streamed_pair_svd_batched
+
+    t1, t2 = _pair()
+    t1b = jnp.stack([t1, t1 * 0.5])
+    t2b = jnp.stack([t2, t2])
+    qs = jnp.linspace(-5, 5, 64)
+    keys = jax.random.split(jax.random.PRNGKey(5), 2)
+    kw = dict(max_bond_dim=8, abs_err=0.0, rel_err=1e-3, keys=keys,
+              power_iters=4)
+    m1h, m2h, rank_h = streamed_pair_svd_batched(t1b, t2b, qs, ("cz", 0.8), **kw)
+    monkeypatch.setattr(st, "_EIGH_MODE", "device")
+    m1d, m2d, rank_d = streamed_pair_svd_batched(t1b, t2b, qs, ("cz", 0.8), **kw)
+    np.testing.assert_array_equal(np.asarray(rank_h), np.asarray(rank_d))
+    for i in range(2):
+        full_h = np.einsum("abj,jcd->abcd", np.asarray(m1h[i]), np.asarray(m2h[i]))
+        full_d = np.einsum("abj,jcd->abcd", np.asarray(m1d[i]), np.asarray(m2d[i]))
+        np.testing.assert_allclose(full_d, full_h,
+                                   atol=1e-8 * np.abs(full_h).max())
