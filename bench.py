@@ -282,6 +282,14 @@ def main():
         "value": round(traj_per_sec, 4),
         "unit": "traj/s/chip",
         "vs_baseline": vs_baseline,
+        # engine-config provenance for A/B runs (extra keys are informative)
+        "config": {
+            "fused_single": os.environ.get("QCT_FUSED_SINGLE", "1"),
+            "fused_pair": os.environ.get("QCT_FUSED_PAIR", "1"),
+            "stream_eigh": os.environ.get("QCT_STREAM_EIGH", "host"),
+            "bs_decomp": os.environ.get("QCT_BS_DECOMP", "cz"),
+            "power_iters": os.environ.get("QCT_STREAM_POWER_ITERS", ""),
+        },
     }))
 
 

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import os
 from timeit import default_timer as timer
 
 import numpy as np
@@ -165,6 +166,13 @@ def main(config: RBBatchedConfig | None = None):
                 "sec_per_traj": round(dt / max(1, stats["attempted"]), 2),
                 "mean_fidelity": float(np.mean(fids)),
                 "sem_fidelity": float(np.std(fids) / np.sqrt(len(fids))),
+                # engine-config provenance (fused gadgets / streamed knobs)
+                "engine": {
+                    "fused_single": runner.fused_single,
+                    "fused_pair": runner.fused_pair,
+                    "stream_eigh": os.environ.get("QCT_STREAM_EIGH", "host"),
+                    "power_iters": os.environ.get("QCT_STREAM_POWER_ITERS", ""),
+                },
             })
             logger.info("db=%.3f depth=%d: %d samples in %.1fs (%d dropped)",
                         db, depth, len(cell), dt, stats["dropped"])
