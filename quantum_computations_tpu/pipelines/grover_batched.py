@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import os
 from timeit import default_timer as timer
 
 import numpy as np
@@ -101,6 +102,13 @@ def main(config: GroverBatchedConfig | None = None):
             "drop_rate": dropped / max(1, attempted),
             "seconds": round(dt, 1),
             "sec_per_traj": round(dt / max(1, attempted), 2),
+            # engine-config provenance (fused gadgets / streamed knobs)
+            "engine": {
+                "fused_single": runner.fused_single,
+                "fused_pair": runner.fused_pair,
+                "stream_eigh": os.environ.get("QCT_STREAM_EIGH", "host"),
+                "power_iters": os.environ.get("QCT_STREAM_POWER_ITERS", ""),
+            },
         })
         if config.data_file:
             write_data(config.data_file + ".meta.json", meta)

@@ -209,6 +209,42 @@ def test_fused_engine_two_qubit_vs_dv():
     assert np.mean(fids) > 0.55, fids
 
 
+@pytest.mark.slow
+def test_fused_vs_unfused_statistics():
+    """Fused and unfused engines must agree statistically on an RB-style
+    workload (the fused paths remove truncation loss, so fused means may sit
+    slightly HIGHER, within a few standard errors)."""
+    from quantum_computations_tpu.dv import Simulator as DVSimulator, State as DVState, gates as dvg, qop
+    from quantum_computations_tpu.gkp import MBGKPCircuit
+    from quantum_computations_tpu.gkp.batched import BatchedGKP
+    from quantum_computations_tpu.gkp.compiled import logical_coeffs
+
+    gates = [dvg.H(0), dvg.CZ(0, 1), dvg.P(1), dvg.H(1)]
+    circ = MBGKPCircuit.transpile(gates, 2)
+    circ.fill()
+    want = np.asarray(DVSimulator(gates).run([DVState.ZERO, DVState.ZERO]))
+    coeffs = logical_coeffs([DVState.ZERO, DVState.ZERO])
+    qs = np.linspace(-20, 20, 300)
+    stats = {}
+    for fused in (True, False):
+        runner = BatchedGKP(qs, db2eps(10.0),
+                            SVDOptions(max_bond_dim=8, rel_err=1e-2),
+                            adaptive=True, granularity="op",
+                            fused_single=fused, fused_pair=fused)
+        fids = []
+        for seed in range(3):
+            tensors, frames = runner.run_circuit(circ, coeffs, 16, rng_seed=seed)
+            rho_re, rho_im = runner.readout(tensors, frames)
+            rhos = np.asarray(rho_re) + 1j * np.asarray(rho_im)
+            fids += [float(qop.fidelity(jnp.asarray(want), jnp.asarray(r)))
+                     for r in rhos]
+        stats[fused] = (np.mean(fids), np.std(fids) / np.sqrt(len(fids)))
+    (mu_f, se_f), (mu_u, se_u) = stats[True], stats[False]
+    se = float(np.hypot(se_f, se_u))
+    assert abs(mu_f - mu_u) < 4 * se + 0.05, stats
+    assert mu_f > mu_u - 2 * se, stats  # fused must not be systematically worse
+
+
 def test_fused_engine_single_qubit_vs_dv():
     """Batched engine with fused gadgets matches the DV simulator (fast,
     single-qubit H circuit)."""
