@@ -53,4 +53,6 @@ step rb-all-opts-anchor 10800 env QCT_STREAM_EIGH=device \
     python -m quantum_computations_tpu.pipelines.rb_batched \
     --dbs 5.833 --depths 8 --num-samples 100 --batch 16 \
     --data-file $B/rb_all_opts_anchor.dat --overwrite
+# score the fused anchors vs the unfused sweep + reference (CPU-only)
+step fused-anchor-ab 600 python $B/compare_fused_anchor.py
 echo "=== queue5 complete at $(date -u +%H:%M:%S)"
