@@ -53,6 +53,10 @@ step rb-all-opts-anchor 10800 env QCT_STREAM_EIGH=device \
     python -m quantum_computations_tpu.pipelines.rb_batched \
     --dbs 5.833 --depths 8 --num-samples 100 --batch 16 \
     --data-file $B/rb_all_opts_anchor.dat --overwrite
+# refresh the production attribution with the fused engine (stdout in log)
+step attribution-fused 7200 python $B/profile_rb.py
+step attribution-all-opts 7200 env QCT_STREAM_EIGH=device python $B/profile_rb.py
+
 # score the fused anchors vs the unfused sweep + reference (CPU-only)
 step fused-anchor-ab 600 python $B/compare_fused_anchor.py
 echo "=== queue5 complete at $(date -u +%H:%M:%S)"
