@@ -317,17 +317,22 @@ def fused_pair_measure2(tensors, m: int, qs, a1, a2, key, *,
     contracted per grid column — no streamed subspace iteration, no Gram
     fetch, no truncation loss.
 
-    Two exact paths, chosen by the STATIC first homodyne angle ``a1``:
+    Three exact paths, chosen by the STATIC first homodyne angle ``a1``:
 
     - ``a1 == 0`` (CZ/PP first pair, SWAP second pair): scan the measured
       mode's rows directly,
       ``p1(i) ~ sum_j ||W1[:, i, j, :] @ W2[:, i, j, :]||_F^2``.
-    - ``a1 != 0`` (SWAP first pair, CZ/PP second pair): scanning rotated
-      quadratures would require pre-rotating the factor tensors, which
-      aliases badly for chirped (entangled) factors; instead the TRUE
-      fractional-Fourier kernel is applied along the virtual x-lines per
-      grid column y — mathematically identical to the conventional
-      rotate-then-measure sequence.
+    - ``a1 != 0, a2 == 0`` (SWAP first pair): the two homodynes commute, so
+      the ORDER is swapped — the unrotated second mode is scanned first (a
+      pure line-evaluation pass), and the rotation by ``-a1`` is applied
+      exactly to the materialised conditional tensor before the other
+      measurement. No per-row kernel work at all.
+    - both angles nonzero (CZ/PP second pair): scanning rotated quadratures
+      would require pre-rotating the factor tensors, which aliases badly for
+      chirped (entangled) factors; instead the TRUE fractional-Fourier
+      kernel is applied along the virtual x-lines per grid column y —
+      mathematically identical to the conventional rotate-then-measure
+      sequence.
 
     The collapse conditions on the sampled row, measures the second mode on
     the materialised (a, d, c) conditional tensor (kernel rotation by
@@ -381,7 +386,28 @@ def fused_pair_measure2(tensors, m: int, qs, a1, a2, key, *,
     lines1e = jnp.permute_dims(t1e, (1, 0, 2)).reshape(d, a * k)
     lines2e = jnp.permute_dims(t2e, (1, 0, 2)).reshape(d, k * c)
 
-    if a1 == 0.0:
+    static2 = not isinstance(a2, jax.core.Tracer)
+    swapped = a1 != 0.0 and static2 and abs(float(a2)) < 1e-12
+    if swapped or a1 != 0.0:
+        if not np.allclose(qs_np + qs_np[::-1], 0.0, atol=1e-9):
+            raise ValueError("fused pair measure with a1 != 0 needs a "
+                             "symmetric grid")
+
+    if swapped:
+        # -- order-swapped fast path: scan the unrotated SECOND mode --------
+        SC, freqsC = _make_tab(cth)   # t1 lines as functions of x (stretch c)
+        SSn, freqsS = _make_tab(sth)  # t2 lines as functions of x (stretch -s)
+        f1eC = _tab(lines1e, SC)
+        f2eS = _tab(lines2e, SSn)
+
+        def pj_body(y, acc):
+            W1 = _row(f1eC, freqsC, sth * qs[y], (a, k))             # t1e(c q_x + s q_y)
+            W2 = _row(f2eS, freqsS, cth * qs[y], (k, c), flip=True)  # t2e(-s q_x + c q_y)
+            Ay = jnp.einsum("xak,xkc->xac", W1, W2, precision=PRECISION)
+            return acc.at[y].set(jnp.sum(jnp.abs(Ay) ** 2))
+
+        p1_raw = jax.lax.fori_loop(0, d, pj_body, jnp.zeros((d,), rdt))
+    elif a1 == 0.0:
         # -- fast path: scan the measured mode's grid rows directly --------
         SG, freqsG = _make_tab(sth)   # t1 lines as functions of j (stretch s)
         SH, freqsH = _make_tab(cth)   # t2 lines as functions of j (stretch c)
@@ -414,26 +440,35 @@ def fused_pair_measure2(tensors, m: int, qs, a1, a2, key, *,
 
         p1_raw = jax.lax.fori_loop(0, d, p1_body, jnp.zeros((d,), rdt))
 
+    # `force` is ALWAYS (mode-1 grid index, mode-2 grid index); in swapped
+    # order the second mode is sampled first.
     rho1 = jnp.clip(p1_raw, 0.0, None) * dq ** (L0 - 1)
     dist1 = rho1 * dq
     if force is not None:
-        i_star = jnp.asarray(force[0])
+        s1_idx = jnp.asarray(force[1] if swapped else force[0])
     else:
-        i_star = jax.random.categorical(k1, jnp.log(dist1))
-    m1 = qs[i_star]
-    p1v = rho1[i_star]
+        s1_idx = jax.random.categorical(k1, jnp.log(dist1))
+    v1 = qs[s1_idx]
+    p1v = rho1[s1_idx]
 
     # Collapse from the RAW (undressed) factors at the sampled outcome.
-    if a1 == 0.0:
+    if swapped:
+        # one line evaluation at the collapsed column y = v1 -> (a, d_x, c)
+        f1rC = _tab(lines1, SC)
+        f2rS = _tab(lines2, SSn)
+        W1r = _row(f1rC, freqsC, sth * v1, (a, k))
+        W2r = _row(f2rS, freqsS, cth * v1, (k, c), flip=True)
+        B = jnp.einsum("xak,xkc->axc", W1r, W2r, precision=PRECISION)
+    elif a1 == 0.0:
         f1r = _tab(lines1, SG)
         f2r = _tab(lines2, SH)
-        W1r = _row(f1r, freqsG, cth * m1, (a, k))
-        W2r = _row(f2r, freqsH, -sth * m1, (k, c))
+        W1r = _row(f1r, freqsG, cth * v1, (a, k))
+        W2r = _row(f2r, freqsH, -sth * v1, (k, c))
         B = jnp.einsum("jak,jkc->ajc", W1r, W2r, precision=PRECISION)
     else:
         f1rC = _tab(lines1, SC)
         f2rS = _tab(lines2, SSn)
-        krow = _rotation_kernel_row(qs, -a1, m1).astype(cdt)         # (d_x,)
+        krow = _rotation_kernel_row(qs, -a1, v1).astype(cdt)         # (d_x,)
 
         def c_body(y, B):
             W1 = _row(f1rC, freqsC, sth * qs[y], (a, k))
@@ -446,22 +481,26 @@ def fused_pair_measure2(tensors, m: int, qs, a1, a2, key, *,
 
     B = B / jnp.sqrt(jnp.maximum(p1v, tiny)).astype(cdt)
 
-    static2 = not isinstance(a2, jax.core.Tracer)
-    if not (static2 and abs(float(a2)) < 1e-12):
+    # Second measurement: the remaining mode is mode 1 (angle a1) in swapped
+    # order, mode 2 (angle a2, possibly traced) otherwise.
+    if swapped:
+        B = rotation(qs, B, -a1, axis=1)
+    elif not (static2 and abs(float(a2)) < 1e-12):
         B = rotation(qs, B, -a2, axis=1)
 
     Bd = jnp.einsum("pa,ajc,cg->pjg", jnp.conj(S_L), B, S_R, precision=PRECISION)
     rho2 = jnp.clip(jnp.sum(jnp.abs(Bd) ** 2, axis=(0, 2)), 0.0, None) * dq ** (L0 - 2)
     dist2 = rho2 * dq
     if force is not None:
-        j_star = jnp.asarray(force[1])
+        s2_idx = jnp.asarray(force[0] if swapped else force[1])
     else:
-        j_star = jax.random.categorical(k2, jnp.log(dist2))
-    m2 = qs[j_star]
-    p2v = rho2[j_star]
+        s2_idx = jax.random.categorical(k2, jnp.log(dist2))
+    v2 = qs[s2_idx]
+    p2v = rho2[s2_idx]
 
-    M = jax.lax.dynamic_index_in_dim(B, j_star, axis=1, keepdims=False)
+    M = jax.lax.dynamic_index_in_dim(B, s2_idx, axis=1, keepdims=False)
     M = M / jnp.sqrt(jnp.maximum(p2v, tiny)).astype(cdt)
+    m1, m2 = (v2, v1) if swapped else (v1, v2)
 
     # Absorb into a neighbour (Mq smaller-intermediate rule, cv/gates.py).
     new_tensors = list(tensors)
@@ -475,6 +514,6 @@ def fused_pair_measure2(tensors, m: int, qs, a1, a2, key, *,
         new_tensors[m] = jnp.tensordot(M, tensors[m + 2], axes=(1, 0))
     if diagnostics:
         return new_tensors, m1, m2, {"rho1": rho1, "rho2": rho2,
-                                     "p1": p1v, "p2": p2v,
-                                     "i": i_star, "j": j_star}
+                                     "p1": p1v, "p2": p2v, "swapped": swapped,
+                                     "i": s1_idx, "j": s2_idx}
     return new_tensors, m1, m2

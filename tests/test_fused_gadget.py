@@ -170,11 +170,17 @@ def test_fused_pair_matches_eager_exact(m, a1, a2):
         list(tensors), m, QS, a1, a2, KEY, force=(i_f, j_f), diagnostics=True)
 
     assert np.isclose(float(m1), QS[i_f]) and np.isclose(float(m2), QS[j_f])
-    rho1_f = np.asarray(diag["rho1"])
-    scale = max(rho1_e.max(), 1e-30)
-    np.testing.assert_allclose(rho1_f / scale, rho1_e / scale, atol=2e-4)
-    assert np.isclose(float(diag["p1"]), p1_e, rtol=3e-4, atol=1e-9)
-    assert np.isclose(float(diag["p2"]), p2_e, rtol=1e-3, atol=1e-9)
+    if diag["swapped"]:
+        # order-swapped path: individual marginals differ by measurement
+        # order, but the JOINT density p1*p2 is order-invariant
+        joint_f = float(diag["p1"]) * float(diag["p2"])
+        np.testing.assert_allclose(joint_f, p1_e * p2_e, rtol=1e-3)
+    else:
+        rho1_f = np.asarray(diag["rho1"])
+        scale = max(rho1_e.max(), 1e-30)
+        np.testing.assert_allclose(rho1_f / scale, rho1_e / scale, atol=2e-4)
+        assert np.isclose(float(diag["p1"]), p1_e, rtol=3e-4, atol=1e-9)
+        assert np.isclose(float(diag["p2"]), p2_e, rtol=1e-3, atol=1e-9)
 
     assert len(fused_tensors) == len(eager_mps.tensors)
     v_e, v_f = _dense(eager_mps.tensors), _dense(fused_tensors)
