@@ -95,9 +95,14 @@ def _production_circ():
     return gkp_circ, qs, eps, svd
 
 
+_CONFIG_USED: dict = {}
+
+
 def run_tpu_production() -> float:
-    """Trajectories/sec of the op-granularity rank-adaptive engine (streamed
-    two-mode gates) on the production RB workload."""
+    """Trajectories/sec of the op-granularity rank-adaptive engine on the
+    production RB workload. Tries the fused-gadget engine first (env
+    defaults); if it fails on this backend (e.g. an unproven remote compile),
+    falls back to the split-op engine so the headline metric still lands."""
     import jax
     from quantum_computations_tpu.dv import State as DVState
     from quantum_computations_tpu.gkp.batched import BatchedGKP
@@ -108,22 +113,38 @@ def run_tpu_production() -> float:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     gkp_circ, qs, eps, svd = _production_circ()
-    runner = BatchedGKP(qs, eps, svd, adaptive=True, granularity="op")
     coeffs = logical_coeffs([DVState.ZERO, DVState.ZERO])
 
-    def run_and_check(seed):
-        tensors, frames = runner.run_circuit(gkp_circ, coeffs, BATCH, rng_seed=seed)
-        rho_re, _ = runner.readout(tensors, frames)
-        traces = np.asarray(rho_re).trace(axis1=1, axis2=2)
-        if not np.all(np.isfinite(traces)) or not np.all(traces > 0):
-            raise RuntimeError(f"bench output invalid: traces={traces}")
+    def measure(runner):
+        def run_and_check(seed):
+            tensors, frames = runner.run_circuit(gkp_circ, coeffs, BATCH,
+                                                 rng_seed=seed)
+            rho_re, _ = runner.readout(tensors, frames)
+            traces = np.asarray(rho_re).trace(axis1=1, axis2=2)
+            if not np.all(np.isfinite(traces)) or not np.all(traces > 0):
+                raise RuntimeError(f"bench output invalid: traces={traces}")
 
-    run_and_check(0)  # compile / cache-load + warm + validate
-    t0 = time.perf_counter()
-    for r in range(REPS):
-        run_and_check(r + 1)
-    dt = time.perf_counter() - t0
-    return REPS * BATCH / dt
+        run_and_check(0)  # compile / cache-load + warm + validate
+        t0 = time.perf_counter()
+        for r in range(REPS):
+            run_and_check(r + 1)
+        return REPS * BATCH / (time.perf_counter() - t0)
+
+    try:
+        runner = BatchedGKP(qs, eps, svd, adaptive=True, granularity="op")
+        value = measure(runner)
+        _CONFIG_USED.update(fused_single=runner.fused_single,
+                            fused_pair=runner.fused_pair)
+        return value
+    except Exception as exc:
+        print(f"# fused-engine bench failed ({exc!r}); "
+              "falling back to the split-op engine", file=sys.stderr)
+        runner = BatchedGKP(qs, eps, svd, adaptive=True, granularity="op",
+                            fused_single=False, fused_pair=False)
+        value = measure(runner)
+        _CONFIG_USED.update(fused_single=False, fused_pair=False,
+                            fused_fallback=True)
+        return value
 
 
 def run_baseline_production_inline(n_traj: int = 1) -> float:
@@ -289,6 +310,7 @@ def main():
             "stream_eigh": os.environ.get("QCT_STREAM_EIGH", "host"),
             "bs_decomp": os.environ.get("QCT_BS_DECOMP", "cz"),
             "power_iters": os.environ.get("QCT_STREAM_POWER_ITERS", ""),
+            **_CONFIG_USED,
         },
     }))
 
