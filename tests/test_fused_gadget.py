@@ -251,6 +251,30 @@ def test_fused_vs_unfused_statistics():
     assert mu_f > mu_u - 2 * se, stats  # fused must not be systematically worse
 
 
+def test_fused_engine_swap_circuit_vs_dv():
+    """SWAP macronode through the fused engine (order-swapped first pair)."""
+    from quantum_computations_tpu.dv import Simulator as DVSimulator, State as DVState, gates as dvg, qop
+    from quantum_computations_tpu.gkp import MBGKPCircuit
+    from quantum_computations_tpu.gkp.batched import BatchedGKP
+    from quantum_computations_tpu.gkp.compiled import logical_coeffs
+
+    gates = [dvg.H(0), dvg.SWAP(0, 1)]
+    circ = MBGKPCircuit.transpile(gates, 2)
+    circ.fill()
+    runner = BatchedGKP(np.linspace(-20, 20, 300), db2eps(10.0),
+                        SVDOptions(max_bond_dim=8, rel_err=1e-2),
+                        adaptive=True, granularity="op",
+                        fused_single=True, fused_pair=True)
+    coeffs = logical_coeffs([DVState.ZERO, DVState.ZERO])
+    tensors, frames = runner.run_circuit(circ, coeffs, 3, rng_seed=2)
+    rho_re, rho_im = runner.readout(tensors, frames)
+    rhos = np.asarray(rho_re) + 1j * np.asarray(rho_im)
+    assert np.all(np.isfinite(rhos))
+    want = np.asarray(DVSimulator(gates).run([DVState.ZERO, DVState.ZERO]))
+    fids = [float(qop.fidelity(jnp.asarray(want), jnp.asarray(r))) for r in rhos]
+    assert np.mean(fids) > 0.55, fids
+
+
 def test_fused_engine_single_qubit_vs_dv():
     """Batched engine with fused gadgets matches the DV simulator (fast,
     single-qubit H circuit)."""
