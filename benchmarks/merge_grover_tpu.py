@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Score the production TPU Grover datasets against the reference's.
+
+Loads each on-chip oracle dataset (``gkp_grover_tpu*.dat``, producer
+``pipelines/grover_batched.py`` — schema {epsilon, rho_real, rho_imag},
+identical to the reference's ``gkp_grover_{04,27,36}.dat``, producer
+``impact_.../grover.py:82-145``), computes the mean success probability per
+epsilon with the reference's plot_data.ipynb cell-11 metric (RAW diagonal
+sum over the tagged basis states), and compares against the reference
+dataset cells at the same epsilon with a z-score. Prints a JSON report and
+writes ``benchmarks/gkp_grover_tpu_summary.json``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+B = os.path.dirname(os.path.abspath(__file__))
+REF_DIR = ("/root/reference/impact_of_finite_squeezing_on_near-term_quantum_"
+           "computations_using_gkp_qubits/data")
+
+# our dataset file -> (tagged states, reference dataset file)
+ORACLES = {
+    "gkp_grover_tpu.dat": ((0, 4), "gkp_grover_04.dat"),
+    "gkp_grover_tpu_27.dat": ((2, 7), "gkp_grover_27.dat"),
+    "gkp_grover_tpu_36.dat": ((3, 6), "gkp_grover_36.dat"),
+}
+
+
+def successes(rows, tagged):
+    """Per-epsilon success-probability samples (raw-diagonal convention)."""
+    from quantum_computations_tpu.pipelines.grover import success_probability
+
+    by: dict[float, list[float]] = {}
+    for row in rows:
+        rho = np.asarray(row["rho_real"]) + 1j * np.asarray(row["rho_imag"])
+        by.setdefault(round(float(row["epsilon"]), 9), []).append(
+            success_probability(rho, list(tagged)))
+    return by
+
+
+def main():
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    report = {"metric": "gkp_grover_tpu_production_dataset", "oracles": []}
+    for ours_name, (tagged, ref_name) in ORACLES.items():
+        ours_path = os.path.join(B, ours_name)
+        if not os.path.exists(ours_path):
+            report["oracles"].append({"oracle": ref_name, "status": "missing"})
+            continue
+        ours = successes(json.load(open(ours_path)), tagged)
+        ref = successes(json.load(open(os.path.join(REF_DIR, ref_name))), tagged)
+        meta_path = ours_path + ".meta.json"
+        meta = json.load(open(meta_path)) if os.path.exists(meta_path) else []
+        cells = []
+        for eps, vals in sorted(ours.items()):
+            v = np.asarray(vals)
+            # nearest reference epsilon (the sweeps share db2eps exactly, but
+            # float round-trips through JSON can differ in the last digit)
+            ref_eps = min(ref, key=lambda e: abs(e - eps))
+            rv = np.asarray(ref[ref_eps])
+            se = float(v.std(ddof=1) / np.sqrt(len(v))) if len(v) > 1 else 0.0
+            ref_se = float(rv.std(ddof=1) / np.sqrt(len(rv)))
+            z = ((float(v.mean()) - float(rv.mean()))
+                 / max(np.hypot(se, ref_se), 1e-12))
+            cells.append({
+                "tagged": list(tagged), "epsilon": eps,
+                "mean": round(float(v.mean()), 4), "se": round(se, 4),
+                "n": len(v),
+                "ref_mean": round(float(rv.mean()), 4),
+                "ref_se": round(ref_se, 4), "ref_n": len(rv),
+                "z": round(z, 2),
+            })
+        entry = {"oracle": ref_name, "cells": cells}
+        if meta:
+            entry["drop_rate"] = max(m.get("drop_rate", 0.0) for m in meta)
+            entry["sec_per_traj"] = [m.get("sec_per_traj") for m in meta]
+            entry["engine"] = meta[-1].get("engine")
+        report["oracles"].append(entry)
+    zs = [abs(c["z"]) for o in report["oracles"] for c in o.get("cells", [])]
+    report["max_abs_z"] = max(zs) if zs else None
+    report["all_within_2se"] = bool(zs) and all(z <= 2.0 for z in zs)
+    print(json.dumps(report, indent=1))
+    json.dump(report, open(os.path.join(B, "gkp_grover_tpu_summary.json"), "w"),
+              indent=1)
+
+
+if __name__ == "__main__":
+    main()
