@@ -333,21 +333,87 @@ class P(SingleModeGate):
         mps[self.index] = mps[self.index] * phase[None, :, None]
 
 
+def _scale_mode(qs, tensor, a, axis: int = 1):
+    """(Σ_a ψ)(q) = √a · ψ(a·q) — the unitary 1-D dilation, norm-preserving.
+
+    Always evaluates on the STRETCH side so the sinc interpolation never
+    samples outside the grid and never increases bandwidth: for a ≤ 1 the
+    direct sample at a·qs is a stretch; for a > 1 the identity
+    Σ_a = F⁻¹ Σ_{1/a} F moves the stretch into the Fourier domain.
+    """
+    a = float(a)
+    if a == 1.0:
+        return tensor
+    if a > 1.0:
+        tensor = interp.fourier(qs, tensor, axis=axis)
+        tensor = _scale_mode(qs, tensor, 1.0 / a, axis=axis)
+        return interp.fourier(qs, tensor, axis=axis, inv=True)
+    out = interp.whittaker_shannon(qs, tensor, a * qs, axis=axis)
+    return out * jnp.sqrt(jnp.asarray(a, out.real.dtype))
+
+
 class S(SingleModeGate):
-    """Squeezing gate (not implemented in the reference either, gates.py:249-258)."""
+    """Squeezing gate: squeezes the `angle`-rotated quadrature by e^{-r}.
 
-    def __init__(self, index, r: float, angle: float, **kwargs):
-        raise NotImplementedError()
+    A capability upgrade over the reference, which declares this gate but
+    raises NotImplementedError (reference gates.py:249-258). Semantics:
+    ``S(i, r, 0)`` maps ψ(q) → e^{r/2} ψ(e^{r} q) (the q variance shrinks by
+    e^{-2r}); for general ``angle`` the squeezed axis is rotated, i.e.
+    S(r, φ) = R(φ) · S(r, 0) · R(-φ) with R the :class:`Phase` rotation.
+    The dilation is evaluated on its stretch side (direct for compression of
+    the argument, via the Fourier domain otherwise), so accuracy holds while
+    the squeezed state remains inside the grid's q- and p-windows. ``r`` and
+    ``angle`` must be static (Python) scalars.
+    """
 
-    def apply(self, mps, **kwargs):
-        raise NotImplementedError()
+    def __init__(self, index, r: float, angle: float = 0.0, **kwargs):
+        super().__init__(index, arg=float(r), **kwargs)
+        self.angle = float(angle)
+
+    def __repr__(self):
+        return (type(self).__name__
+                + f"({round(self.arg, REPR_DIGITS)}, {round(self.angle, REPR_DIGITS)})"
+                + f"_{self.index}")
+
+    def apply(self, mps: MPS, **_):
+        qs = jnp.asarray(mps.domain)
+        r = (-1) ** self.dagger * self.arg
+        tensor = mps[self.index]
+        if self.angle:
+            tensor = _phase_rotate(qs, tensor, -self.angle)
+        tensor = _scale_mode(qs, tensor, float(np.exp(r)), axis=1)
+        if self.angle:
+            tensor = _phase_rotate(qs, tensor, self.angle)
+        mps[self.index] = tensor
+
+
+def _phase_rotate(qs, tensor, theta, axis: int = 1):
+    """Phase-space rotation by `theta` with exact sin(θ)=0 fast paths."""
+    c, s = np.cos(theta), np.sin(theta)
+    if abs(s) < 1e-12:
+        # θ ≡ 0 (identity) or θ ≡ π (parity: ψ(q) → ψ(-q); F² with our CFT
+        # convention, exact on the symmetric grid).
+        return tensor if c > 0 else jnp.flip(tensor, axis=axis)
+    return interp.rotation(qs, tensor, theta, axis=axis)
 
 
 class Phase(SingleModeGate):
-    """Single-mode phase rotation (not implemented in the reference, gates.py:261-269)."""
+    """Single-mode phase-space rotation by `angle` (fractional Fourier).
+
+    A capability upgrade over the reference, which declares this gate but
+    raises NotImplementedError (reference gates.py:261-269). ``Phase(i, π/2)``
+    coincides with the Fourier gate :class:`F`; sin(angle)=0 points use the
+    exact identity/parity fast paths. ``angle`` must be a static scalar.
+    """
 
     def __init__(self, index, angle: float, **kwargs):
-        raise NotImplementedError()
+        super().__init__(index, arg=float(angle), **kwargs)
 
-    def apply(self, mps, **kwargs):
-        raise NotImplementedError()
+    def __repr__(self):
+        angle = round(self.arg / float(jnp.pi), REPR_DIGITS)
+        return type(self).__name__ + f"({angle} * π)" + f"_{self.index}"
+
+    def apply(self, mps: MPS, **_):
+        qs = jnp.asarray(mps.domain)
+        theta = (-1) ** self.dagger * self.arg
+        mps[self.index] = _phase_rotate(qs, mps[self.index], theta, axis=1)
