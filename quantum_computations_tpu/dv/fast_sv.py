@@ -94,7 +94,7 @@ class FastStatevector:
     """
 
     C_BITS = 11
-    BLOCK_ROWS = 128
+    BLOCK_ROWS = 32  # (32, 2048) blocks fit the 16 MB scoped-VMEM stack (pallas_kernels)
 
     def __init__(self, num_qubits: int, *, use_pallas: bool | None = None,
                  interpret: bool = False, donate: bool = False):
@@ -141,7 +141,7 @@ class FastStatevector:
             k = len(targets)
             bit = self._bit(targets[0])
             if (self.use_pallas and k == 1 and bit in self._fusable):
-                if chain is None:
+                if chain is None or len(chain.bits) >= pk._MAX_CHAIN_LEN:
                     chain = _Plan("chain")
                     plans.append(chain)
                 chain.matrices.append(mat)

@@ -201,8 +201,15 @@ def apply_1q_xla(state_re, state_im, u, qubit: int, num_qubits: int):
 
 _LANE_MIN_BITS = 7  # minor-most mixing stride >= 128 lanes
 
+# Default (c_bits=11, block_rows=32) keeps the per-block VMEM footprint at
+# 32*2048*4 = 256 KB/plane. Mosaic allocates kernel stack for the UNROLLED
+# chain's live temporaries, which scales with block size x chain length:
+# measured on v5e, a 24-gate chain at (128, 2048) blocks needs ~36 MB of
+# scoped VMEM vs the 16 MB hardware limit; (32, 2048) fits at ~9 MB.
+_MAX_CHAIN_LEN = 24  # stack also scales with k — cap chains at the measured config
 
-def fusable_bits(num_qubits: int, c_bits: int = 11, block_rows: int = 128):
+
+def fusable_bits(num_qubits: int, c_bits: int = 11, block_rows: int = 32):
     """Amplitude-bit positions a (c_bits, block_rows) layout can fuse."""
     hi = min(num_qubits, c_bits + int(np.log2(block_rows)))
     return tuple(range(_LANE_MIN_BITS, min(c_bits, num_qubits))) + \
@@ -248,7 +255,7 @@ def _fused_chain_kernel(bits, c_bits):
                                    "block_rows", "donate", "interpret"))
 def apply_1q_chain(state_re: jax.Array, state_im: jax.Array, us: jax.Array,
                    bits: tuple, num_qubits: int, *, c_bits: int = 11,
-                   block_rows: int = 128, donate: bool = False,
+                   block_rows: int = 32, donate: bool = False,
                    interpret: bool = False):
     """Apply a chain of single-qubit unitaries in ONE pass over the state.
 
