@@ -81,6 +81,14 @@ def main():
         _run_pallas(jax, jnp, qop, pk, targets, n_gates)
     if "fused" in PATHS:
         _run_fused(jax, jnp, qop, pk, n_gates, achieved_gbps)
+    if "fusedxla" in PATHS:
+        # same 24-gate chain, two qubit spreads: the bench targets (6
+        # distinct -> 1 window) and a 14-distinct spread (2 windows)
+        _run_fused_xla(jax, jnp, qop, targets, achieved_gbps, tag="6q")
+        spread = [(3 + 2 * i) % (N - 1) for i in range(14)]
+        spread = list(dict.fromkeys(spread))[:14]
+        _run_fused_xla(jax, jnp, qop, (spread * 2)[:24], achieved_gbps,
+                       tag="14q")
 
 
 def _run_xla(jax, jnp, qop, targets, n_gates):
@@ -201,6 +209,53 @@ def _run_fused(jax, jnp, qop, pk, n_gates, achieved_gbps):
         "x_of_roofline": round(pass_dt / roofline_r, 2),
         "achieved_floor_pass_ms": round(2 * 2 * 4 * 2**N / (achieved_gbps * 1e9) * 1e3, 3),
         "x_of_achieved_floor": round(pass_dt / (2 * 2 * 4 * 2**N / (achieved_gbps * 1e9)), 2),
+        "compile_s": round(compile_s, 1),
+    }), flush=True)
+
+
+def _run_fused_xla(jax, jnp, qop, targets, achieved_gbps, tag=""):
+    """Window-fused chain: gates fuse into <=7-qubit unitaries applied as
+    one grouped MXU contraction per HBM pass (dv.fusion)."""
+    from quantum_computations_tpu.dv import fusion
+
+    H = np.asarray(qop.H)
+    k = len(targets)
+    gates = [(H, (int(q),)) for q in targets]
+    windows = fusion.fuse_windows(gates)
+    w_arrays = [(np.ascontiguousarray(u.real), np.ascontiguousarray(u.imag),
+                 tgts) for u, tgts in windows]
+
+    @jax.jit
+    def fused_xla_chain(seed):
+        idx = jax.lax.iota(jnp.float32, 2**N)
+        v = jnp.sin(idx * (0.1 + 1e-4 * seed)) + 0.5
+        xr = v / jnp.linalg.norm(v)
+        xi = jnp.zeros_like(xr)
+        for ur, ui, tgts in w_arrays:
+            xr, xi = fusion.apply_window_split(
+                xr, xi, jnp.asarray(ur), jnp.asarray(ui), tgts, N)
+        return jnp.sum(xr * xr + xi * xi)
+
+    t0 = time.perf_counter()
+    out = float(fused_xla_chain(0))
+    compile_s = time.perf_counter() - t0
+    assert abs(out - 1.0) < 1e-3, out
+    t0 = time.perf_counter()
+    for r in range(REPS):
+        out = float(fused_xla_chain(r + 1))
+    pass_dt = (time.perf_counter() - t0) / REPS
+
+    floor_pass = 2 * 2 * 4 * 2**N / (achieved_gbps * 1e9)
+    print(json.dumps({
+        "metric": "dv_per_gate_time_xla_fused_window", "qubits": N,
+        "tag": tag, "chain_len": k, "n_windows": len(windows),
+        "window_sizes": [len(t) for _, _, t in w_arrays],
+        "total_ms": round(pass_dt * 1e3, 3),
+        "value_ms": round(pass_dt / k * 1e3, 4),
+        "per_window_ms": round(pass_dt / len(windows) * 1e3, 3),
+        "achieved_floor_pass_ms": round(floor_pass * 1e3, 3),
+        "x_of_achieved_floor_per_window": round(
+            pass_dt / len(windows) / floor_pass, 2),
         "compile_s": round(compile_s, 1),
     }), flush=True)
 

@@ -19,25 +19,40 @@ mid-circuit measurements live in the general engine). Replaces the
 reference's dense O(4^N) ``expand_gate`` construction
 (``simulators/dv_simulator/numpy_quantum.py:243-247``) at scale.
 
-Gate scheduling: consecutive single-qubit gates whose amplitude bits are
-fusable under the (c_bits, block_rows) layout accumulate into one fused
-chain; adjacent-pair two-qubit gates use the 4×4 branch-mix kernel; all
-other gates fall back to the XLA split-real contraction (which XLA fuses
-well for the low-`inner` qubits where a Pallas pass would be layout-bound
-anyway).
+Gate scheduling (``fusion_mode``):
+
+- ``"window"`` (default) — gates fuse into <=7-qubit *window* unitaries
+  (:mod:`.fusion`): a <=128x128 product matrix composed on the host, applied
+  as ONE grouped MXU contraction per HBM pass. A run of m 1q gates over q
+  distinct qubits costs ceil(q/7) passes instead of m. On-chip this beat the
+  per-gate Pallas chain by avoiding in-kernel strided relayouts.
+- ``"chain"`` — the Pallas split-real kernels: runs of fusable 1q gates form
+  one :func:`..ops.pallas_kernels.apply_1q_chain` pass, adjacent pairs use
+  the 4x4 branch-mix kernel, everything else falls back to XLA.
 """
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
+from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from . import fusion
 from ..ops import pallas_kernels as pk
 
 __all__ = ["FastStatevector"]
+
+
+@partial(jax.jit, static_argnames=("targets", "num_qubits"),
+         donate_argnums=(0, 1))
+def _window_step(re, im, u_re, u_im, targets: tuple, num_qubits: int):
+    """One fused-window application; donates the input planes (in-place on
+    HBM — the N=30 requirement)."""
+    return fusion.apply_window_split(re, im, u_re, u_im, targets, num_qubits)
 
 
 def _apply_xla_general(re, im, u, targets: tuple[int, ...], num_qubits: int):
@@ -97,8 +112,16 @@ class FastStatevector:
     BLOCK_ROWS = 32  # (32, 2048) blocks fit the 16 MB scoped-VMEM stack (pallas_kernels)
 
     def __init__(self, num_qubits: int, *, use_pallas: bool | None = None,
-                 interpret: bool = False, donate: bool = False):
+                 interpret: bool = False, donate: bool = False,
+                 fusion_mode: str | None = None):
         self.N = int(num_qubits)
+        if fusion_mode is None:
+            # explicit use_pallas=True selects the chain kernels (back-compat)
+            fusion_mode = ("chain" if use_pallas
+                           else os.environ.get("QCT_SV_FUSION", "window"))
+        if fusion_mode not in ("window", "chain"):
+            raise ValueError(f"unknown fusion_mode {fusion_mode!r}")
+        self.fusion_mode = fusion_mode
         if use_pallas is None:
             use_pallas = jax.default_backend() not in ("cpu",)
         self.use_pallas = bool(use_pallas)
@@ -124,20 +147,28 @@ class FastStatevector:
         """Amplitude-bit position of a big-endian qubit index."""
         return self.N - qubit - 1
 
+    @staticmethod
+    def _normalize(g) -> tuple[np.ndarray, tuple[int, ...]]:
+        """(matrix, targets) with Insert-style injections unitarised.
+
+        A 2-vector (a, b) means state injection: the reference engine grows
+        the register (dv gates.py Insert); here the register is fixed and
+        the target starts in |0>, so the injection is the state-prep
+        unitary [[a, -b*], [b, a*]].
+        """
+        mat, targets = g if isinstance(g, tuple) else (g.matrix, tuple(g.indices))
+        mat = np.asarray(mat)
+        if mat.size == 2:
+            a, b = mat.reshape(2)
+            mat = np.array([[a, -np.conj(b)], [b, np.conj(a)]])
+        return mat, tuple(int(t) for t in targets)
+
     def _plan(self, gates) -> list[_Plan]:
         """Greedy fusion: runs of Pallas-fusable 1q gates form one chain."""
         plans: list[_Plan] = []
         chain: _Plan | None = None
         for g in gates:
-            mat, targets = g if isinstance(g, tuple) else (g.matrix, tuple(g.indices))
-            mat = np.asarray(mat)
-            if mat.size == 2:
-                # Insert-style state injection (a, b): the reference engine
-                # grows the register (dv gates.py Insert); here the register
-                # is fixed and the target starts in |0>, so the injection is
-                # the state-prep unitary [[a, -b*], [b, a*]].
-                a, b = mat.reshape(2)
-                mat = np.array([[a, -np.conj(b)], [b, np.conj(a)]])
+            mat, targets = self._normalize(g)
             k = len(targets)
             bit = self._bit(targets[0])
             if (self.use_pallas and k == 1 and bit in self._fusable):
@@ -159,6 +190,16 @@ class FastStatevector:
     def run(self, gates) -> "FastStatevector":
         """Apply a sequence of gate objects (``.matrix`` + ``.indices``) or
         ``(matrix, targets)`` tuples. Returns self."""
+        if self.fusion_mode == "window":
+            max_bits = min(fusion.MAX_WINDOW_BITS, self.N)
+            normalized = [self._normalize(g) for g in gates]
+            for u, tgts in fusion.fuse_windows(normalized, max_bits=max_bits):
+                self.re, self.im = _window_step(
+                    self.re, self.im,
+                    jnp.asarray(np.ascontiguousarray(u.real)),
+                    jnp.asarray(np.ascontiguousarray(u.imag)),
+                    tgts, self.N)
+            return self
         for plan in self._plan(gates):
             if plan.kind == "chain":
                 us = np.stack(plan.matrices).astype(np.complex64)

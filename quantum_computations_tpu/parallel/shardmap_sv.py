@@ -161,6 +161,60 @@ class ShardMapStateVector:
 
         raise NotImplementedError("1- and 2-qubit gates only")
 
+    def apply_window(self, u, qubits: tuple[int, ...]):
+        """Apply a fused k-qubit window unitary (k <= local bits).
+
+        Zero communication once the targets are local: one grouped einsum
+        per device block (:func:`..dv.fusion.apply_window`), so a fused
+        window of j gates costs one per-device HBM pass instead of j.
+        ``u`` rows/cols index the qubits of ``qubits`` in the given order.
+        """
+        from ..dv import fusion as dvfusion
+        from ..dv import qop
+
+        qubits = tuple(int(q) for q in qubits)
+        if len(qubits) > self.L:
+            raise ValueError(f"window of {len(qubits)} qubits exceeds the "
+                             f"{self.L} local bits per device")
+        self._ensure_local(qubits)
+        slots = [self.slot_of[q] for q in qubits]
+        order = list(np.argsort(slots))
+        u = np.asarray(u)
+        if order != list(range(len(qubits))):
+            # re-order the operator's tensor factors to ascending slot order:
+            # old factor i moves to its slot's rank (permute_tensor_product
+            # sends old factor k to position perm[k])
+            ranks = list(np.argsort(order))
+            u = np.asarray(qop.permute_tensor_product(jnp.asarray(u), ranks))
+        tgts = tuple(sorted(s - self.k for s in slots))
+        axis, L = self.axis, self.L
+        mat = jnp.asarray(u, dtype=complex_dtype())
+
+        @partial(shard_map, mesh=self.mesh, in_specs=(P(axis), P()),
+                 out_specs=P(axis))
+        def applyw(block, uu):
+            x = dvfusion.apply_window(block.reshape(-1), uu, tgts, L)
+            return x.reshape(1, -1)
+
+        self.state = jax.jit(applyw)(self.state, mat)
+        return self
+
+    def run_fused(self, gates, max_bits: int | None = None):
+        """Fuse a unitary gate list into window unitaries and apply them.
+
+        ``gates``: (matrix, qubits) tuples or gate objects, as accepted by
+        :func:`..dv.fusion.fuse_windows`. Windows are capped at the
+        per-device local bit count so every window applies communication-free
+        after its layout swaps.
+        """
+        from ..dv import fusion as dvfusion
+
+        mb = dvfusion.MAX_WINDOW_BITS if max_bits is None else int(max_bits)
+        mb = min(mb, self.L)
+        for u, tgts in dvfusion.fuse_windows(gates, max_bits=mb):
+            self.apply_window(u, tgts)
+        return self
+
     # -- observables --------------------------------------------------------
     def norm(self):
         axis = self.axis

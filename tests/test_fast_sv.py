@@ -29,12 +29,15 @@ def _circuit():
     ]
 
 
-@pytest.mark.parametrize("mode", ["xla", "pallas-interpret"])
+@pytest.mark.parametrize("mode", ["xla", "pallas-interpret", "window"])
 def test_matches_complex_reference(mode):
     gates = _circuit()
     want = _reference_state(gates, N)
-    sv = FastStatevector(N, use_pallas=(mode == "pallas-interpret"),
-                         interpret=True)
+    if mode == "window":
+        sv = FastStatevector(N, fusion_mode="window")
+    else:
+        sv = FastStatevector(N, use_pallas=(mode == "pallas-interpret"),
+                             interpret=True, fusion_mode="chain")
     sv.run(gates)
     got = np.asarray(sv.re) + 1j * np.asarray(sv.im)
     # global state, not just probabilities
@@ -44,10 +47,21 @@ def test_matches_complex_reference(mode):
 
 def test_chain_fusion_planned():
     sv = FastStatevector(N, use_pallas=True, interpret=True)
+    assert sv.fusion_mode == "chain"  # explicit use_pallas keeps the old path
     plans = sv._plan(_circuit())
     kinds = [p.kind for p in plans]
     assert kinds[0] == "chain" and len(plans[0].matrices) == 3
     assert "2q" in kinds and "xla" in kinds
+
+
+def test_window_mode_is_default_and_fuses():
+    sv = FastStatevector(N)
+    assert sv.fusion_mode == "window"
+    gates = _circuit()  # 10 gates over qubits {0,1,2,4,5,6,7,9}
+    want = _reference_state(gates, N)
+    sv.run(gates)
+    got = np.asarray(sv.re) + 1j * np.asarray(sv.im)
+    np.testing.assert_allclose(got, want, atol=2e-6)
 
 
 def test_sampling_distribution():

@@ -207,3 +207,32 @@ def test_sample_matches_dense_distribution():
         got = bits[:, q].mean()
         se = max(np.sqrt(p1 * (1 - p1) / 600), 1e-3)
         assert abs(got - p1) < 5 * se, (q, got, p1)
+
+
+def test_run_fused_windows_match_dense():
+    """Window-fused execution (dv.fusion) matches dense, including layout
+    swaps for global-slot targets and operator factor re-ordering."""
+    N = 10
+    sv = ShardMapStateVector(N)  # 8 devices -> k=3, L=7
+    circuit = [(rand_u(2), (q,)) for q in [9, 4, 0, 6, 2, 8, 5]]  # mixes global+local
+    circuit += [(rand_u(4), (1, 7)), (rand_u(2), (3,)), (rand_u(4), (9, 2))]
+    sv.run_fused(circuit)
+    np.testing.assert_allclose(sv.to_dense(), dense_run(N, circuit), atol=1e-8)
+
+
+def test_apply_window_unsorted_targets():
+    """apply_window with targets given in non-ascending order (factor
+    permutation path)."""
+    N = 8
+    sv = ShardMapStateVector(N)
+    u = rand_u(8)
+    sv.apply_window(u, (7, 3, 5))
+    want = dense_run(N, [(u, (7, 3, 5))])
+    np.testing.assert_allclose(sv.to_dense(), want, atol=1e-10)
+
+
+def test_window_cap_respects_local_bits():
+    N = 8
+    sv = ShardMapStateVector(N)  # L = 5
+    with pytest.raises(ValueError):
+        sv.apply_window(rand_u(2**6), tuple(range(6)))
