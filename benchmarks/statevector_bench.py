@@ -81,6 +81,8 @@ def main():
         _run_pallas(jax, jnp, qop, pk, targets, n_gates)
     if "fused" in PATHS:
         _run_fused(jax, jnp, qop, pk, n_gates, achieved_gbps)
+    if "slab" in PATHS:
+        _run_slab(jax, jnp, qop, achieved_gbps)
     if "fusedxla" in PATHS:
         # same 24-gate chain, two qubit spreads: the bench targets (6
         # distinct -> 1 window) and a 14-distinct spread (2 windows)
@@ -210,6 +212,82 @@ def _run_fused(jax, jnp, qop, pk, n_gates, achieved_gbps):
         "achieved_floor_pass_ms": round(2 * 2 * 4 * 2**N / (achieved_gbps * 1e9) * 1e3, 3),
         "x_of_achieved_floor": round(pass_dt / (2 * 2 * 4 * 2**N / (achieved_gbps * 1e9)), 2),
         "compile_s": round(compile_s, 1),
+    }), flush=True)
+
+
+def _run_slab(jax, jnp, qop, achieved_gbps):
+    """Minor-slab window economics: (a) a fused 7-qubit window applied as a
+    pure (R, 128) @ (128, 128) matmul (zero transposes), and (b) a bit-group
+    permute pass (swap bit groups [0..6] <-> [7..13]) — the two primitives
+    of a lazy-layout slab engine."""
+    from quantum_computations_tpu.dv import fusion
+
+    H = np.asarray(qop.H)
+    slab = tuple(range(N - 7, N))
+    gates = [(H, (q,)) for q in (list(slab) * 4)[:24]]  # 24 gates -> 1 window
+    (w, tgts), = fusion.fuse_windows(gates)
+    assert tgts == slab
+    wr = np.ascontiguousarray(w.real.astype(np.float32))
+    wi = np.ascontiguousarray(w.imag.astype(np.float32))
+    PASSES = 8
+
+    @jax.jit
+    def slab_chain(seed):
+        idx = jax.lax.iota(jnp.float32, 2**N)
+        v = jnp.sin(idx * (0.1 + 1e-4 * seed)) + 0.5
+        xr = v / jnp.linalg.norm(v)
+        xi = jnp.zeros_like(xr)
+        for _ in range(PASSES):
+            xr, xi = fusion.apply_window_split(
+                xr, xi, jnp.asarray(wr), jnp.asarray(wi), tgts, N)
+        return jnp.sum(xr * xr + xi * xi)
+
+    t0 = time.perf_counter()
+    out = float(slab_chain(0))
+    compile_s = time.perf_counter() - t0
+    assert abs(out - 1.0) < 1e-3, out
+    t0 = time.perf_counter()
+    for r in range(REPS):
+        float(slab_chain(r + 1))
+    pass_dt = (time.perf_counter() - t0) / (REPS * PASSES)
+
+    floor_pass = 2 * 2 * 4 * 2**N / (achieved_gbps * 1e9)
+    print(json.dumps({
+        "metric": "dv_slab_window_pass", "qubits": N,
+        "gates_per_window": 24, "passes_timed": PASSES,
+        "pass_ms": round(pass_dt * 1e3, 3),
+        "value_ms_per_gate": round(pass_dt / 24 * 1e3, 4),
+        "achieved_floor_pass_ms": round(floor_pass * 1e3, 3),
+        "x_of_achieved_floor": round(pass_dt / floor_pass, 2),
+        "compile_s": round(compile_s, 1),
+    }), flush=True)
+
+    # (b) bit-group permute: swap bits [0..6] <-> [7..13] on both planes
+    @jax.jit
+    def permute_chain(seed):
+        idx = jax.lax.iota(jnp.float32, 2**N)
+        v = jnp.sin(idx * (0.1 + 1e-4 * seed)) + 0.5
+        xr = v / jnp.linalg.norm(v)
+        xi = jnp.zeros_like(xr)
+        for _ in range(PASSES):
+            xr = jnp.swapaxes(xr.reshape(-1, 128, 128), 1, 2).reshape(-1)
+            xi = jnp.swapaxes(xi.reshape(-1, 128, 128), 1, 2).reshape(-1)
+        return jnp.sum(xr * xr + xi * xi)
+
+    t0 = time.perf_counter()
+    out = float(permute_chain(0))
+    compile_p = time.perf_counter() - t0
+    assert abs(out - 1.0) < 1e-3, out
+    t0 = time.perf_counter()
+    for r in range(REPS):
+        float(permute_chain(r + 1))
+    perm_dt = (time.perf_counter() - t0) / (REPS * PASSES)
+    print(json.dumps({
+        "metric": "dv_bitgroup_permute_pass", "qubits": N,
+        "pass_ms": round(perm_dt * 1e3, 3),
+        "achieved_floor_pass_ms": round(floor_pass * 1e3, 3),
+        "x_of_achieved_floor": round(perm_dt / floor_pass, 2),
+        "compile_s": round(compile_p, 1),
     }), flush=True)
 
 
