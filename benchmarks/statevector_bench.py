@@ -83,6 +83,8 @@ def main():
         _run_fused(jax, jnp, qop, pk, n_gates, achieved_gbps)
     if "slab" in PATHS:
         _run_slab(jax, jnp, qop, achieved_gbps)
+    if "slabengine" in PATHS:
+        _run_slab_engine(jax, jnp, qop, achieved_gbps)
     if "fusedxla" in PATHS:
         # same 24-gate chain, two qubit spreads: the bench targets (6
         # distinct -> 1 window) and a 14-distinct spread (2 windows)
@@ -288,6 +290,43 @@ def _run_slab(jax, jnp, qop, achieved_gbps):
         "achieved_floor_pass_ms": round(floor_pass * 1e3, 3),
         "x_of_achieved_floor": round(perm_dt / floor_pass, 2),
         "compile_s": round(compile_p, 1),
+    }), flush=True)
+
+
+def _run_slab_engine(jax, jnp, qop, achieved_gbps):
+    """End-to-end lazy-layout slab engine (FastStatevector fusion_mode=
+    'slab') on the 24-gate / 14-distinct-qubit chain: steady state is two
+    move passes + two slab matmuls per chain (the two 7-qubit windows evict
+    each other)."""
+    from quantum_computations_tpu.dv.fast_sv import FastStatevector
+
+    H = np.asarray(qop.H)
+    spread = [(3 + 2 * i) % (N - 1) for i in range(14)]
+    spread = list(dict.fromkeys(spread))[:14]
+    gates = [(H, (int(q),)) for q in (spread * 2)[:24]]
+    k = len(gates)
+
+    sv = FastStatevector(N, fusion_mode="slab")
+    t0 = time.perf_counter()
+    sv.run(gates)
+    _ = sv.norm_sq()
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _r in range(REPS):
+        sv.run(gates)
+    out = sv.norm_sq()
+    chain_dt = (time.perf_counter() - t0) / REPS
+    assert abs(out - 1.0) < 1e-3, out
+
+    floor_pass = 2 * 2 * 4 * 2**N / (achieved_gbps * 1e9)
+    print(json.dumps({
+        "metric": "dv_slab_engine_chain", "qubits": N,
+        "chain_len": k, "n_windows": 2,
+        "total_ms": round(chain_dt * 1e3, 3),
+        "value_ms_per_gate": round(chain_dt / k * 1e3, 4),
+        "achieved_floor_pass_ms": round(floor_pass * 1e3, 3),
+        "x_of_achieved_floor_per_chain": round(chain_dt / floor_pass, 2),
+        "compile_s": round(compile_s, 1),
     }), flush=True)
 
 

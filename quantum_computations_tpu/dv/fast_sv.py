@@ -21,11 +21,19 @@ reference's dense O(4^N) ``expand_gate`` construction
 
 Gate scheduling (``fusion_mode``):
 
-- ``"window"`` (default) — gates fuse into <=7-qubit *window* unitaries
-  (:mod:`.fusion`): a <=128x128 product matrix composed on the host, applied
-  as ONE grouped MXU contraction per HBM pass. A run of m 1q gates over q
-  distinct qubits costs ceil(q/7) passes instead of m. On-chip this beat the
-  per-gate Pallas chain by avoiding in-kernel strided relayouts.
+- ``"slab"`` (default) — gates fuse into <=7-qubit *window* unitaries
+  (:mod:`.fusion`) and apply on the minor 128-lane slab as pure
+  ``(R, 128) @ (128, 128)`` MXU matmuls with a lazy logical->physical axis
+  layout: a window whose qubits live outside the slab pays ONE grouped
+  transpose pass to move them in (and they stay). Measured on v5e at N=28:
+  slab pass 20.4 ms = 1.37x the achieved-BW floor (0.85 ms/gate for a
+  24-gate window), move pass 5.1 ms — vs 22x the floor for the scattered
+  grouped einsum and 20x for the per-gate Pallas chain. NOTE: ``re``/``im``
+  are in PHYSICAL axis order when the layout is permuted; use
+  ``probs()``/``sample()``/``norm_sq()`` (layout-aware) for readout.
+- ``"window"`` — the same fused windows applied in logical order via a
+  grouped einsum (exact; XLA inserts layout transposes for scattered
+  targets — fine on CPU, slow on TPU).
 - ``"chain"`` — the Pallas split-real kernels: runs of fusable 1q gates form
   one :func:`..ops.pallas_kernels.apply_1q_chain` pass, adjacent pairs use
   the 4x4 branch-mix kernel, everything else falls back to XLA.
@@ -53,6 +61,42 @@ def _window_step(re, im, u_re, u_im, targets: tuple, num_qubits: int):
     """One fused-window application; donates the input planes (in-place on
     HBM — the N=30 requirement)."""
     return fusion.apply_window_split(re, im, u_re, u_im, targets, num_qubits)
+
+
+def _move_axes_to_end_plan(N: int, axes: tuple[int, ...]):
+    """(view_shape, transpose_perm) sending physical axes ``axes`` (sorted)
+    to the trailing positions, preserving the order of the others.
+
+    Uses the interleaved-segment grouped view (rank <= 2k+1), never the
+    rank-N (2,)*N view, so it is XLA-safe at any N.
+    """
+    shape, taxes = fusion._grouped_view(N, axes)
+    others = [i for i in range(len(shape)) if i not in taxes]
+    return tuple(shape), tuple(others) + tuple(taxes)
+
+
+@partial(jax.jit, static_argnames=("num_qubits", "axes"),
+         donate_argnums=(0, 1))
+def _move_axes_step(re, im, axes: tuple, num_qubits: int):
+    """One HBM pass relocating physical axes ``axes`` to the end of both
+    planes (a tiled transpose — measured near the elementwise floor)."""
+    shape, perm = _move_axes_to_end_plan(num_qubits, axes)
+    re = re.reshape(shape).transpose(perm).reshape(-1)
+    im = im.reshape(shape).transpose(perm).reshape(-1)
+    return re, im
+
+
+@partial(jax.jit, static_argnames=("slab_dim",), donate_argnums=(0, 1))
+def _slab_matmul_step(re, im, w_re, w_im, slab_dim: int):
+    """Slab window application: (R, 2^S) @ (2^S, 2^S) split-real matmuls —
+    zero transposes, MXU-bound, one HBM pass."""
+    xr = re.reshape(-1, slab_dim)
+    xi = im.reshape(-1, slab_dim)
+    wrt = w_re.T
+    wit = w_im.T
+    out_r = jnp.dot(xr, wrt) - jnp.dot(xi, wit)
+    out_i = jnp.dot(xi, wrt) + jnp.dot(xr, wit)
+    return out_r.reshape(-1), out_i.reshape(-1)
 
 
 def _apply_xla_general(re, im, u, targets: tuple[int, ...], num_qubits: int):
@@ -118,8 +162,8 @@ class FastStatevector:
         if fusion_mode is None:
             # explicit use_pallas=True selects the chain kernels (back-compat)
             fusion_mode = ("chain" if use_pallas
-                           else os.environ.get("QCT_SV_FUSION", "window"))
-        if fusion_mode not in ("window", "chain"):
+                           else os.environ.get("QCT_SV_FUSION", "slab"))
+        if fusion_mode not in ("window", "chain", "slab"):
             raise ValueError(f"unknown fusion_mode {fusion_mode!r}")
         self.fusion_mode = fusion_mode
         if use_pallas is None:
@@ -141,6 +185,10 @@ class FastStatevector:
         self.re, self.im = _init()
         self._fusable = set(pk.fusable_bits(self.N, self.c_bits,
                                             self.block_rows))
+        # slab mode: logical axis -> physical axis (lazy layout; axes move
+        # into the minor slab on demand and stay there)
+        self.axis_of = list(range(self.N))
+        self.slab_bits = min(fusion.MAX_WINDOW_BITS, self.N)
 
     # -- scheduling ------------------------------------------------------
     def _bit(self, qubit: int) -> int:
@@ -190,15 +238,18 @@ class FastStatevector:
     def run(self, gates) -> "FastStatevector":
         """Apply a sequence of gate objects (``.matrix`` + ``.indices``) or
         ``(matrix, targets)`` tuples. Returns self."""
-        if self.fusion_mode == "window":
+        if self.fusion_mode in ("window", "slab"):
             max_bits = min(fusion.MAX_WINDOW_BITS, self.N)
             normalized = [self._normalize(g) for g in gates]
             for u, tgts in fusion.fuse_windows(normalized, max_bits=max_bits):
-                self.re, self.im = _window_step(
-                    self.re, self.im,
-                    jnp.asarray(np.ascontiguousarray(u.real)),
-                    jnp.asarray(np.ascontiguousarray(u.imag)),
-                    tgts, self.N)
+                if self.fusion_mode == "slab":
+                    self._apply_slab_window(u, tgts)
+                else:
+                    self.re, self.im = _window_step(
+                        self.re, self.im,
+                        jnp.asarray(np.ascontiguousarray(u.real)),
+                        jnp.asarray(np.ascontiguousarray(u.imag)),
+                        tgts, self.N)
             return self
         for plan in self._plan(gates):
             if plan.kind == "chain":
@@ -216,6 +267,46 @@ class FastStatevector:
                     self.re, self.im, plan.matrices[0], plan.targets, self.N)
         return self
 
+    # -- slab engine -------------------------------------------------------
+    def _apply_slab_window(self, u: np.ndarray, tgts: tuple[int, ...]):
+        """Apply one fused window with the lazy-layout slab scheme.
+
+        If any target axis currently lives outside the minor slab, ONE
+        grouped-transpose pass relocates all window axes to the trailing
+        positions (they stay there — later windows on the same qubits pay
+        nothing). The window is then expanded to the full slab (host kron)
+        and applied as a pure (R, 2^S) @ (2^S, 2^S) MXU matmul.
+        """
+        N, S = self.N, self.slab_bits
+        slab_start = N - S
+        phys = [self.axis_of[t] for t in tgts]
+        if any(p < slab_start for p in phys):
+            move = tuple(sorted(phys))
+            self.re, self.im = _move_axes_step(self.re, self.im, move, N)
+            moved = set(move)
+            untouched = [p for p in range(N) if p not in moved]
+            newpos = {}
+            for r, p in enumerate(untouched):
+                newpos[p] = r
+            for r, p in enumerate(move):
+                newpos[p] = len(untouched) + r
+            self.axis_of = [newpos[p] for p in self.axis_of]
+            phys = [self.axis_of[t] for t in tgts]
+        positions = [p - slab_start for p in phys]
+        w_slab = fusion._np_expand(np.asarray(u, np.complex128), S, positions)
+        self.re, self.im = _slab_matmul_step(
+            self.re, self.im,
+            jnp.asarray(np.ascontiguousarray(w_slab.real), jnp.float32),
+            jnp.asarray(np.ascontiguousarray(w_slab.imag), jnp.float32),
+            1 << S)
+
+    def _layout_is_identity(self) -> bool:
+        return self.axis_of == list(range(self.N))
+
+    def _logical_perm(self):
+        """transpose perm taking the physical-order (2,)*N view to logical."""
+        return list(self.axis_of)
+
     # -- readout ---------------------------------------------------------
     def norm_sq(self) -> float:
         @jax.jit
@@ -225,13 +316,20 @@ class FastStatevector:
         return float(f(self.re, self.im))
 
     def probs(self) -> jax.Array:
-        """|amp|^2 vector — only sensible for small/medium N."""
+        """|amp|^2 vector in LOGICAL qubit order — small/medium N only."""
 
         @jax.jit
         def f(re, im):
             return re * re + im * im
 
-        return f(self.re, self.im)
+        p = f(self.re, self.im)
+        if self._layout_is_identity():
+            return p
+        if self.N > 22:
+            raise ValueError("probs() on a permuted slab layout needs a "
+                             "rank-N transpose; N too large")
+        perm = self._logical_perm()
+        return jnp.transpose(p.reshape((2,) * self.N), perm).reshape(-1)
 
     def sample(self, key, shots: int = 1) -> np.ndarray:
         """Terminal Born sampling of all qubits: (shots,) basis indices.
@@ -256,4 +354,14 @@ class FastStatevector:
             c = jax.random.categorical(k2, jnp.log(pr + 1e-30), axis=-1)
             return r * C + c
 
-        return np.asarray(f(self.re, self.im, key))
+        samples = np.asarray(f(self.re, self.im, key))
+        if self._layout_is_identity():
+            return samples
+        # slab layout: sampled indices are in PHYSICAL axis order — remap
+        # each bit to its logical position (host-side, (shots,) ints)
+        N = self.N
+        out = np.zeros_like(samples)
+        for l, p in enumerate(self.axis_of):
+            bit = (samples >> (N - 1 - p)) & 1
+            out |= bit << (N - 1 - l)
+        return out

@@ -54,9 +54,13 @@ def test_chain_fusion_planned():
     assert "2q" in kinds and "xla" in kinds
 
 
-def test_window_mode_is_default_and_fuses():
+def test_slab_mode_is_default():
     sv = FastStatevector(N)
-    assert sv.fusion_mode == "window"
+    assert sv.fusion_mode == "slab"
+
+
+def test_window_mode_fuses():
+    sv = FastStatevector(N, fusion_mode="window")
     gates = _circuit()  # 10 gates over qubits {0,1,2,4,5,6,7,9}
     want = _reference_state(gates, N)
     sv.run(gates)
@@ -85,3 +89,42 @@ def test_grover_on_fast_engine():
     sv = FastStatevector(3, use_pallas=False).run(gates)
     p = np.asarray(sv.probs())
     assert abs(p[2] - 0.5) < 1e-5 and abs(p[7] - 0.5) < 1e-5
+
+
+def test_slab_mode_matches_reference():
+    """Lazy-layout slab engine: scattered windows force move passes; the
+    final probs/sample remap back to logical order."""
+    gates = _circuit()
+    want = _reference_state(gates, N)
+    sv = FastStatevector(N, fusion_mode="slab")
+    sv.run(gates)
+    assert not sv._layout_is_identity()  # moves actually happened
+    p = np.asarray(sv.probs())
+    np.testing.assert_allclose(p, np.abs(want) ** 2, atol=2e-6)
+    assert abs(sv.norm_sq() - 1.0) < 1e-5
+
+
+def test_slab_mode_sample_remap():
+    # H on qubits 0..2 only: samples must be uniform over the 8 leading
+    # patterns with trailing qubits |0> — in LOGICAL order, despite the
+    # physical layout having moved qubits 0..2 into the minor slab.
+    import jax as _jax
+
+    sv = FastStatevector(N, fusion_mode="slab")
+    sv.run([dvg.H(0), dvg.H(1), dvg.H(2)])
+    assert not sv._layout_is_identity()
+    samples = sv.sample(_jax.random.PRNGKey(0), shots=4096)
+    assert np.all(samples % (1 << (N - 3)) == 0)
+    counts = np.bincount(samples >> (N - 3), minlength=8)
+    assert counts.min() > 4096 / 8 * 0.7, counts
+
+
+def test_slab_mode_no_move_when_resident():
+    """A window on already-slab-resident qubits costs no move pass."""
+    sv = FastStatevector(N, fusion_mode="slab")
+    slab_qubits = list(range(N - sv.slab_bits, N))
+    sv.run([dvg.H(q) for q in slab_qubits])
+    assert sv._layout_is_identity()
+    want = _reference_state([dvg.H(q) for q in slab_qubits], N)
+    got = np.asarray(sv.re) + 1j * np.asarray(sv.im)
+    np.testing.assert_allclose(got, want, atol=2e-6)
