@@ -79,8 +79,47 @@ def _move_axes_to_end_plan(N: int, axes: tuple[int, ...]):
          donate_argnums=(0, 1))
 def _move_axes_step(re, im, axes: tuple, num_qubits: int):
     """One HBM pass relocating physical axes ``axes`` to the end of both
-    planes (a tiled transpose — measured near the elementwise floor)."""
+    planes. ONLY safe at small N: the transpose output ends in size-2 axes,
+    which TPU layout assignment pads to the (sublane, 128-lane) tile — at
+    N=28 the padded copy buffer exceeds HBM (measured: 34-64 GB). Large-N
+    moves use the minor-safe primitives below instead."""
     shape, perm = _move_axes_to_end_plan(num_qubits, axes)
+    re = re.reshape(shape).transpose(perm).reshape(-1)
+    im = im.reshape(shape).transpose(perm).reshape(-1)
+    return re, im
+
+
+@partial(jax.jit, static_argnames=("num_qubits", "slab_bits"),
+         donate_argnums=(0, 1))
+def _block_swap_step(re, im, num_qubits: int, slab_bits: int):
+    """Swap the slab (last S axes) with block B (the S axes above it) —
+    a (A, 2^S, 2^S) axis swap whose minor dim stays 2^S = 128: measured
+    0.35x the elementwise floor on v5e."""
+    S = slab_bits
+    A = 1 << (num_qubits - 2 * S)
+    d = 1 << S
+    re = jnp.swapaxes(re.reshape(A, d, d), 1, 2).reshape(-1)
+    im = jnp.swapaxes(im.reshape(A, d, d), 1, 2).reshape(-1)
+    return re, im
+
+
+@partial(jax.jit, static_argnames=("num_qubits", "slab_bits", "axes",
+                                   "to_front"), donate_argnums=(0, 1))
+def _upper_move_step(re, im, axes: tuple, num_qubits: int, slab_bits: int,
+                     to_front: bool):
+    """Relocate UPPER physical axes ``axes`` to the end (or front) of the
+    upper region, slab untouched. The slab stays merged as a trailing
+    2^S-wide axis, so the transpose output's minor dim is 128 — the
+    layout-safe form of the grouped move at any N."""
+    Nu = num_qubits - slab_bits
+    shape, taxes = fusion._grouped_view(Nu, axes)
+    shape = shape + (1 << slab_bits,)
+    slab_ax = len(shape) - 1
+    others = tuple(i for i in range(slab_ax) if i not in taxes)
+    if to_front:
+        perm = tuple(taxes) + others + (slab_ax,)
+    else:
+        perm = others + tuple(taxes) + (slab_ax,)
     re = re.reshape(shape).transpose(perm).reshape(-1)
     im = im.reshape(shape).transpose(perm).reshape(-1)
     return re, im
@@ -189,6 +228,10 @@ class FastStatevector:
         # into the minor slab on demand and stay there)
         self.axis_of = list(range(self.N))
         self.slab_bits = min(fusion.MAX_WINDOW_BITS, self.N)
+        # N up to this uses the direct grouped move (1 pass; its tiny-axis
+        # layout padding only matters at multi-GB planes); tests lower it
+        # (with a small slab_bits) to exercise the minor-safe sequence
+        self.scatter_move_max = 21
 
     # -- scheduling ------------------------------------------------------
     def _bit(self, qubit: int) -> int:
@@ -239,7 +282,8 @@ class FastStatevector:
         """Apply a sequence of gate objects (``.matrix`` + ``.indices``) or
         ``(matrix, targets)`` tuples. Returns self."""
         if self.fusion_mode in ("window", "slab"):
-            max_bits = min(fusion.MAX_WINDOW_BITS, self.N)
+            max_bits = (self.slab_bits if self.fusion_mode == "slab"
+                        else min(fusion.MAX_WINDOW_BITS, self.N))
             normalized = [self._normalize(g) for g in gates]
             for u, tgts in fusion.fuse_windows(normalized, max_bits=max_bits):
                 if self.fusion_mode == "slab":
@@ -268,31 +312,104 @@ class FastStatevector:
         return self
 
     # -- slab engine -------------------------------------------------------
-    def _apply_slab_window(self, u: np.ndarray, tgts: tuple[int, ...]):
-        """Apply one fused window with the lazy-layout slab scheme.
+    def _swap_blocks(self):
+        """slab <-> block-B swap + bookkeeping (minor-safe at any N)."""
+        N, S = self.N, self.slab_bits
+        slab_start = N - S
+        self.re, self.im = _block_swap_step(self.re, self.im, N, S)
 
-        If any target axis currently lives outside the minor slab, ONE
-        grouped-transpose pass relocates all window axes to the trailing
-        positions (they stay there — later windows on the same qubits pay
-        nothing). The window is then expanded to the full slab (host kron)
-        and applied as a pure (R, 2^S) @ (2^S, 2^S) MXU matmul.
+        def newpos(p):
+            if p >= slab_start:
+                return p - S
+            if p >= slab_start - S:
+                return p + S
+            return p
+
+        self.axis_of = [newpos(p) for p in self.axis_of]
+
+    def _move_upper(self, srcs: tuple[int, ...], *, to_front: bool):
+        """Relocate upper axes ``srcs`` (sorted) + bookkeeping."""
+        N, S = self.N, self.slab_bits
+        Nu = N - S
+        self.re, self.im = _upper_move_step(self.re, self.im, srcs, N, S,
+                                            to_front)
+        src_set = set(srcs)
+        others = [p for p in range(Nu) if p not in src_set]
+        newpos = {}
+        if to_front:
+            for r, p in enumerate(srcs):
+                newpos[p] = r
+            for r, p in enumerate(others):
+                newpos[p] = len(srcs) + r
+        else:
+            for r, p in enumerate(others):
+                newpos[p] = r
+            for r, p in enumerate(srcs):
+                newpos[p] = len(others) + r
+        self.axis_of = [newpos.get(p, p) for p in self.axis_of]
+
+    def _ensure_slab_resident(self, tgts: tuple[int, ...]):
+        """Bring all target axes into the minor slab (lazy layout).
+
+        Large-N sequence of minor-safe passes (every transpose keeps a
+        128-wide minor axis — arbitrary grouped moves do NOT compile at
+        N>=28, the tiny trailing axes pad to 34-64 GB copies):
+
+        1. if targets sit in BOTH the slab and the upper region: move ALL
+           upper targets to the front of the upper region (1 pass; room is
+           guaranteed since N >= 3S there);
+        2. if any target is slab-resident: slab<->B swap evicts them to B
+           (1 pass; block B holds no targets by step 1);
+        3. move all targets to the end of the upper region (1 pass);
+        4. slab<->B swap brings them in (1 pass).
+
+        Typical cost is 2 passes at ~5 ms each (no residents: steps 3-4
+        only); windows already resident pay nothing. N <= 21 uses the
+        direct grouped move — its tiny-axis layout padding is only
+        prohibitive at large N (64x of a 16 MB plane is nothing; of a
+        1-4 GB plane it exceeds HBM).
         """
         N, S = self.N, self.slab_bits
         slab_start = N - S
         phys = [self.axis_of[t] for t in tgts]
-        if any(p < slab_start for p in phys):
+        if all(p >= slab_start for p in phys):
+            return
+        if N < 3 * S + 1 or N <= self.scatter_move_max:
             move = tuple(sorted(phys))
             self.re, self.im = _move_axes_step(self.re, self.im, move, N)
             moved = set(move)
             untouched = [p for p in range(N) if p not in moved]
-            newpos = {}
-            for r, p in enumerate(untouched):
-                newpos[p] = r
+            newpos = {p: r for r, p in enumerate(untouched)}
             for r, p in enumerate(move):
                 newpos[p] = len(untouched) + r
             self.axis_of = [newpos[p] for p in self.axis_of]
-            phys = [self.axis_of[t] for t in tgts]
-        positions = [p - slab_start for p in phys]
+            return
+        in_slab = [p for p in phys if p >= slab_start]
+        upper = [p for p in phys if p < slab_start]
+        if in_slab and upper:
+            # clear the upper targets out of block B (front positions are
+            # outside B because N >= 2S + len(upper) when N >= 3S + 1)
+            self._move_upper(tuple(sorted(upper)), to_front=True)
+        if in_slab:
+            self._swap_blocks()
+        phys = [self.axis_of[t] for t in tgts]
+        assert all(p < slab_start for p in phys)
+        self._move_upper(tuple(sorted(phys)), to_front=False)
+        self._swap_blocks()
+
+    def _apply_slab_window(self, u: np.ndarray, tgts: tuple[int, ...]):
+        """Apply one fused window with the lazy-layout slab scheme.
+
+        Targets move into the minor slab via minor-safe passes (see
+        :meth:`_ensure_slab_resident`) and STAY there — later windows on
+        the same qubits pay nothing. The window is then expanded to the
+        full slab (host kron) and applied as a pure
+        (R, 2^S) @ (2^S, 2^S) MXU matmul (measured 1.37x the BW floor).
+        """
+        N, S = self.N, self.slab_bits
+        slab_start = N - S
+        self._ensure_slab_resident(tgts)
+        positions = [self.axis_of[t] - slab_start for t in tgts]
         w_slab = fusion._np_expand(np.asarray(u, np.complex128), S, positions)
         self.re, self.im = _slab_matmul_step(
             self.re, self.im,

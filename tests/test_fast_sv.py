@@ -128,3 +128,61 @@ def test_slab_mode_no_move_when_resident():
     want = _reference_state([dvg.H(q) for q in slab_qubits], N)
     got = np.asarray(sv.re) + 1j * np.asarray(sv.im)
     np.testing.assert_allclose(got, want, atol=2e-6)
+
+
+def test_slab_large_n_minor_safe_moves():
+    """Exercises the minor-safe move sequence (block swaps + upper moves)
+    — every branch: resident-only, full eviction, and the mixed case.
+    Uses a narrow slab (S=4) so N >= 3S+1 holds at a testable size."""
+    rng = np.random.default_rng(7)
+    NN = 15  # S=4 -> slab axes 11..14, block B axes 7..10
+
+    def rand_u():
+        a = rng.normal(size=(2, 2)) + 1j * rng.normal(size=(2, 2))
+        q, _ = np.linalg.qr(a)
+        return q.astype(np.complex64)
+
+    # window 1: all in slab (resident, no move); window 2: all upper
+    # (eviction-free import); window 3: mixed resident + upper targets
+    circuits_ = [
+        [(rand_u(), (q,)) for q in (11, 12, 14)],
+        [(rand_u(), (q,)) for q in (0, 2, 5)],
+        [(rand_u(), (q,)) for q in (0, 3, 8)],   # mixed after moves
+    ]
+    sv = FastStatevector(NN, fusion_mode="slab")
+    sv.slab_bits = 4
+    sv.scatter_move_max = 0   # force the minor-safe sequence
+    psi = jnp.zeros((1 << NN,), dtype=complex).at[0].set(1.0)
+    for circ in circuits_:
+        sv.run(circ)
+        for m, t in circ:
+            psi = qop.apply_unitary(psi, jnp.asarray(m), t)
+    p = np.asarray(sv.probs())
+    np.testing.assert_allclose(p, np.abs(np.asarray(psi)) ** 2, atol=2e-6)
+    assert abs(sv.norm_sq() - 1.0) < 1e-5
+
+
+def test_slab_move_branches_random():
+    """Randomised window sequences at N=16: layout bookkeeping must stay
+    consistent across many move/swap compositions."""
+    rng = np.random.default_rng(11)
+    NN = 16
+
+    def rand_u(k):
+        d = 1 << k
+        a = rng.normal(size=(d, d)) + 1j * rng.normal(size=(d, d))
+        q, _ = np.linalg.qr(a)
+        return q.astype(np.complex64)
+
+    sv = FastStatevector(NN, fusion_mode="slab")
+    sv.slab_bits = 4
+    sv.scatter_move_max = 0
+    psi = jnp.zeros((1 << NN,), dtype=complex).at[0].set(1.0)
+    for _ in range(10):
+        k = int(rng.integers(1, 3))
+        tgts = tuple(int(x) for x in rng.choice(NN, size=k, replace=False))
+        u = rand_u(k)
+        sv.run([(u, tgts)])
+        psi = qop.apply_unitary(psi, jnp.asarray(u), tgts)
+    p = np.asarray(sv.probs())
+    np.testing.assert_allclose(p, np.abs(np.asarray(psi)) ** 2, atol=2e-5)
