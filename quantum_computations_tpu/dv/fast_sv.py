@@ -411,11 +411,20 @@ class FastStatevector:
         self._ensure_slab_resident(tgts)
         positions = [self.axis_of[t] - slab_start for t in tgts]
         w_slab = fusion._np_expand(np.asarray(u, np.complex128), S, positions)
-        self.re, self.im = _slab_matmul_step(
-            self.re, self.im,
-            jnp.asarray(np.ascontiguousarray(w_slab.real), jnp.float32),
-            jnp.asarray(np.ascontiguousarray(w_slab.imag), jnp.float32),
-            1 << S)
+        if self.use_pallas:
+            # streamed in-place Pallas matmul — the only variant whose
+            # output aliases the input planes (required at N=30)
+            self.re, self.im = pk.slab_matmul(
+                self.re, self.im,
+                jnp.asarray(np.ascontiguousarray(w_slab.real.T), jnp.float32),
+                jnp.asarray(np.ascontiguousarray(w_slab.imag.T), jnp.float32),
+                1 << S, interpret=self.interpret)
+        else:
+            self.re, self.im = _slab_matmul_step(
+                self.re, self.im,
+                jnp.asarray(np.ascontiguousarray(w_slab.real), jnp.float32),
+                jnp.asarray(np.ascontiguousarray(w_slab.imag), jnp.float32),
+                1 << S)
 
     def _layout_is_identity(self) -> bool:
         return self.axis_of == list(range(self.N))

@@ -251,6 +251,60 @@ def _fused_chain_kernel(bits, c_bits):
     return kernel
 
 
+def _slab_mix_kernel(w_ref, xr_ref, xi_ref, or_ref, oi_ref):
+    """Split-real (Br, d) @ (d, d) slab-window mix on the MXU.
+
+    w_ref: VMEM (2, d, d) [re/im], already transposed so the mix is a
+    plain right-multiplication. Outputs alias the inputs (in-place on
+    HBM) — the N=30 single-chip requirement that the XLA dot cannot
+    satisfy (it cannot alias a matmul's input to its output, so the
+    split-real window at N=30 needs 2x4 GB in + 2x4 GB out + temps).
+    """
+    wr = w_ref[0]
+    wi = w_ref[1]
+    xr = xr_ref[:]
+    xi = xi_ref[:]
+    or_ref[:] = (jnp.dot(xr, wr, preferred_element_type=jnp.float32)
+                 - jnp.dot(xi, wi, preferred_element_type=jnp.float32))
+    oi_ref[:] = (jnp.dot(xi, wr, preferred_element_type=jnp.float32)
+                 + jnp.dot(xr, wi, preferred_element_type=jnp.float32))
+
+
+@partial(jax.jit, static_argnames=("slab_dim", "interpret"))
+def slab_matmul(state_re: jax.Array, state_im: jax.Array,
+                wt_re: jax.Array, wt_im: jax.Array, slab_dim: int,
+                *, interpret: bool = False):
+    """Apply a slab-window unitary in-place: out = x @ W^T, split-real.
+
+    ``wt_re``/``wt_im``: the ALREADY-TRANSPOSED window matrix (d, d).
+    Streams (block_rows, d) tiles through VMEM with outputs aliased onto
+    the input planes; one HBM read+write of the state total.
+    """
+    d = slab_dim
+    n = state_re.shape[-1] if state_re.ndim else state_re.size
+    R = state_re.size // d
+    block_rows = min(R, 2048)
+    del n
+
+    xr = state_re.reshape(R, d)
+    xi = state_im.reshape(R, d)
+    w = jnp.stack([wt_re, wt_im]).astype(jnp.float32)
+
+    spec = pl.BlockSpec((block_rows, d), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    out_shape = [jax.ShapeDtypeStruct((R, d), jnp.float32)] * 2
+    out_re, out_im = pl.pallas_call(
+        _slab_mix_kernel,
+        grid=(R // block_rows,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM), spec, spec],
+        out_specs=[spec, spec],
+        out_shape=out_shape,
+        input_output_aliases={1: 0, 2: 1},
+        interpret=interpret,
+    )(w, xr, xi)
+    return out_re.reshape(-1), out_im.reshape(-1)
+
+
 @partial(jax.jit, static_argnames=("bits", "num_qubits", "c_bits",
                                    "block_rows", "donate", "interpret"))
 def apply_1q_chain(state_re: jax.Array, state_im: jax.Array, us: jax.Array,

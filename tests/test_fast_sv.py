@@ -186,3 +186,16 @@ def test_slab_move_branches_random():
         psi = qop.apply_unitary(psi, jnp.asarray(u), tgts)
     p = np.asarray(sv.probs())
     np.testing.assert_allclose(p, np.abs(np.asarray(psi)) ** 2, atol=2e-5)
+
+
+def test_slab_mode_pallas_matmul_interpret():
+    """Slab engine with the in-place Pallas matmul (interpret mode)."""
+    sv = FastStatevector(12, fusion_mode="slab", use_pallas=True,
+                         interpret=True)
+    gates = [dvg.H(0), dvg.H(8), dvg.CX(0, 8), dvg.T(11)]
+    sv.run(gates)
+    psi = jnp.zeros((1 << 12,), dtype=complex).at[0].set(1.0)
+    for g in gates:
+        psi = qop.apply_unitary(psi, jnp.asarray(g.matrix), tuple(g.indices))
+    np.testing.assert_allclose(np.asarray(sv.probs()),
+                               np.abs(np.asarray(psi)) ** 2, atol=2e-6)

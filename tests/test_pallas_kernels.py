@@ -88,3 +88,27 @@ def test_apply_1q_chain_rejects_unfusable_bits():
     with pytest.raises(ValueError):
         pk.apply_1q_chain(sr, sr, us, (0,), N, c_bits=11, block_rows=4,
                           interpret=True)
+
+
+def test_slab_matmul_matches_numpy():
+    """Streamed in-place slab matmul (interpret mode) vs numpy."""
+    import numpy as np
+    import jax.numpy as jnp
+    from quantum_computations_tpu.ops import pallas_kernels as pk
+
+    rng = np.random.default_rng(3)
+    R, d = 64, 128
+    x = rng.normal(size=(R * d,)).astype(np.float32) + \
+        1j * rng.normal(size=(R * d,)).astype(np.float32)
+    w = rng.normal(size=(d, d)) + 1j * rng.normal(size=(d, d))
+    q, _ = np.linalg.qr(w)
+    w = q.astype(np.complex64)
+
+    out_re, out_im = pk.slab_matmul(
+        jnp.asarray(x.real), jnp.asarray(x.imag),
+        jnp.asarray(np.ascontiguousarray(w.real.T)),
+        jnp.asarray(np.ascontiguousarray(w.imag.T)),
+        d, interpret=True)
+    want = (x.reshape(R, d) @ w.T).reshape(-1)
+    np.testing.assert_allclose(np.asarray(out_re), want.real, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out_im), want.imag, atol=2e-4)
