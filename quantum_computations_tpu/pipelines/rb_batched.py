@@ -78,7 +78,10 @@ def sample_depth_batched(runner: BatchedGKP, db: float, depth: int,
                 f"cell (db={db}, depth={depth}): {stats['dropped']} of "
                 f"{stats['attempted']} trajectories non-finite — aborting "
                 "instead of resampling forever")
-        n = min(batch, num_samples - len(rows))
+        # always run FULL batches: a partial final batch would compile a
+        # fresh executor set for the odd batch size (measured ~19 min of
+        # remote compiles for a batch-of-4 tail); extra samples are kept
+        n = batch
         dv_circ, gkp_circ = random_circ(N, depth, rng)
         t_batch = timer()
         tensors, frames = runner.run_circuit(
