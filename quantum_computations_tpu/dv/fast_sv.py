@@ -75,6 +75,11 @@ def _move_axes_to_end_plan(N: int, axes: tuple[int, ...]):
     return tuple(shape), tuple(others) + tuple(taxes)
 
 
+def _move_axes_raw(x, axes: tuple, num_qubits: int):
+    shape, perm = _move_axes_to_end_plan(num_qubits, axes)
+    return x.reshape(shape).transpose(perm).reshape(-1)
+
+
 @partial(jax.jit, static_argnames=("num_qubits", "axes"),
          donate_argnums=(0, 1))
 def _move_axes_step(re, im, axes: tuple, num_qubits: int):
@@ -83,10 +88,15 @@ def _move_axes_step(re, im, axes: tuple, num_qubits: int):
     which TPU layout assignment pads to the (sublane, 128-lane) tile — at
     N=28 the padded copy buffer exceeds HBM (measured: 34-64 GB). Large-N
     moves use the minor-safe primitives below instead."""
-    shape, perm = _move_axes_to_end_plan(num_qubits, axes)
-    re = re.reshape(shape).transpose(perm).reshape(-1)
-    im = im.reshape(shape).transpose(perm).reshape(-1)
-    return re, im
+    return (_move_axes_raw(re, axes, num_qubits),
+            _move_axes_raw(im, axes, num_qubits))
+
+
+def _block_swap_raw(x, num_qubits: int, slab_bits: int):
+    S = slab_bits
+    A = 1 << (num_qubits - 2 * S)
+    d = 1 << S
+    return jnp.swapaxes(x.reshape(A, d, d), 1, 2).reshape(-1)
 
 
 @partial(jax.jit, static_argnames=("num_qubits", "slab_bits"),
@@ -94,13 +104,23 @@ def _move_axes_step(re, im, axes: tuple, num_qubits: int):
 def _block_swap_step(re, im, num_qubits: int, slab_bits: int):
     """Swap the slab (last S axes) with block B (the S axes above it) —
     a (A, 2^S, 2^S) axis swap whose minor dim stays 2^S = 128: measured
-    0.35x the elementwise floor on v5e."""
-    S = slab_bits
-    A = 1 << (num_qubits - 2 * S)
-    d = 1 << S
-    re = jnp.swapaxes(re.reshape(A, d, d), 1, 2).reshape(-1)
-    im = jnp.swapaxes(im.reshape(A, d, d), 1, 2).reshape(-1)
-    return re, im
+    0.24-0.35x the elementwise floor on v5e."""
+    return (_block_swap_raw(re, num_qubits, slab_bits),
+            _block_swap_raw(im, num_qubits, slab_bits))
+
+
+def _upper_move_raw(x, axes: tuple, num_qubits: int, slab_bits: int,
+                    to_front: bool):
+    Nu = num_qubits - slab_bits
+    shape, taxes = fusion._grouped_view(Nu, axes)
+    shape = shape + (1 << slab_bits,)
+    slab_ax = len(shape) - 1
+    others = tuple(i for i in range(slab_ax) if i not in taxes)
+    if to_front:
+        perm = tuple(taxes) + others + (slab_ax,)
+    else:
+        perm = others + tuple(taxes) + (slab_ax,)
+    return x.reshape(shape).transpose(perm).reshape(-1)
 
 
 @partial(jax.jit, static_argnames=("num_qubits", "slab_bits", "axes",
@@ -111,17 +131,44 @@ def _upper_move_step(re, im, axes: tuple, num_qubits: int, slab_bits: int,
     upper region, slab untouched. The slab stays merged as a trailing
     2^S-wide axis, so the transpose output's minor dim is 128 — the
     layout-safe form of the grouped move at any N."""
-    Nu = num_qubits - slab_bits
-    shape, taxes = fusion._grouped_view(Nu, axes)
-    shape = shape + (1 << slab_bits,)
-    slab_ax = len(shape) - 1
-    others = tuple(i for i in range(slab_ax) if i not in taxes)
-    if to_front:
-        perm = tuple(taxes) + others + (slab_ax,)
-    else:
-        perm = others + tuple(taxes) + (slab_ax,)
-    re = re.reshape(shape).transpose(perm).reshape(-1)
-    im = im.reshape(shape).transpose(perm).reshape(-1)
+    return (_upper_move_raw(re, axes, num_qubits, slab_bits, to_front),
+            _upper_move_raw(im, axes, num_qubits, slab_bits, to_front))
+
+
+@partial(jax.jit, static_argnames=("plan", "num_qubits", "slab_bits",
+                                   "use_pallas", "interpret"),
+         donate_argnums=(0, 1))
+def _chain_program(re, im, mats, plan: tuple, num_qubits: int,
+                   slab_bits: int, use_pallas: bool, interpret: bool):
+    """Whole fused circuit (layout moves + slab matmuls) as ONE program —
+    per-step dispatch costs ~45 ms RTT on the tunnelled TPU, 18x the
+    kernel time, so the chain must live in a single dispatch."""
+    S = slab_bits
+    d = 1 << S
+    mi = 0
+    for op in plan:
+        if op[0] == "swap":
+            re = _block_swap_raw(re, num_qubits, S)
+            im = _block_swap_raw(im, num_qubits, S)
+        elif op[0] == "move":
+            _, srcs, front = op
+            re = _upper_move_raw(re, srcs, num_qubits, S, front)
+            im = _upper_move_raw(im, srcs, num_qubits, S, front)
+        elif op[0] == "scatter":
+            re = _move_axes_raw(re, op[1], num_qubits)
+            im = _move_axes_raw(im, op[1], num_qubits)
+        else:  # matmul
+            wtr, wti = mats[mi]
+            mi += 1
+            if use_pallas:
+                re, im = pk.slab_matmul(re, im, wtr, wti, d,
+                                        interpret=interpret)
+            else:
+                xr = re.reshape(-1, d)
+                xi = im.reshape(-1, d)
+                out_r = jnp.dot(xr, wtr) - jnp.dot(xi, wti)
+                out_i = jnp.dot(xi, wtr) + jnp.dot(xr, wti)
+                re, im = out_r.reshape(-1), out_i.reshape(-1)
     return re, im
 
 
@@ -232,6 +279,7 @@ class FastStatevector:
         # layout padding only matters at multi-GB planes); tests lower it
         # (with a small slab_bits) to exercise the minor-safe sequence
         self.scatter_move_max = 21
+        self._plan_only = None  # set by run_compiled during planning
 
     # -- scheduling ------------------------------------------------------
     def _bit(self, qubit: int) -> int:
@@ -316,7 +364,10 @@ class FastStatevector:
         """slab <-> block-B swap + bookkeeping (minor-safe at any N)."""
         N, S = self.N, self.slab_bits
         slab_start = N - S
-        self.re, self.im = _block_swap_step(self.re, self.im, N, S)
+        if self._plan_only is not None:
+            self._plan_only("swap")
+        else:
+            self.re, self.im = _block_swap_step(self.re, self.im, N, S)
 
         def newpos(p):
             if p >= slab_start:
@@ -331,8 +382,11 @@ class FastStatevector:
         """Relocate upper axes ``srcs`` (sorted) + bookkeeping."""
         N, S = self.N, self.slab_bits
         Nu = N - S
-        self.re, self.im = _upper_move_step(self.re, self.im, srcs, N, S,
-                                            to_front)
+        if self._plan_only is not None:
+            self._plan_only("move", srcs, to_front)
+        else:
+            self.re, self.im = _upper_move_step(self.re, self.im, srcs, N, S,
+                                                to_front)
         src_set = set(srcs)
         others = [p for p in range(Nu) if p not in src_set]
         newpos = {}
@@ -376,7 +430,10 @@ class FastStatevector:
             return
         if N < 3 * S + 1 or N <= self.scatter_move_max:
             move = tuple(sorted(phys))
-            self.re, self.im = _move_axes_step(self.re, self.im, move, N)
+            if self._plan_only is not None:
+                self._plan_only("scatter", move)
+            else:
+                self.re, self.im = _move_axes_step(self.re, self.im, move, N)
             moved = set(move)
             untouched = [p for p in range(N) if p not in moved]
             newpos = {p: r for r, p in enumerate(untouched)}
@@ -425,6 +482,53 @@ class FastStatevector:
                 jnp.asarray(np.ascontiguousarray(w_slab.real), jnp.float32),
                 jnp.asarray(np.ascontiguousarray(w_slab.imag), jnp.float32),
                 1 << S)
+
+    def run_compiled(self, gates) -> "FastStatevector":
+        """Slab-mode execution of a whole gate list as ONE jitted program.
+
+        The per-step :meth:`run` dispatches each move/swap/matmul as its
+        own jitted call — correct, but on the tunnelled TPU every dispatch
+        costs an RTT (measured ~45 ms/step, 18x the kernel time). This
+        traces the complete fused plan (layout moves + slab matmuls)
+        into a single program keyed by the plan structure; re-running the
+        same circuit shape is one dispatch.
+        """
+        if self.fusion_mode != "slab":
+            raise ValueError("run_compiled requires fusion_mode='slab'")
+        N, S = self.N, self.slab_bits
+        slab_start = N - S
+        normalized = [self._normalize(g) for g in gates]
+        windows = fusion.fuse_windows(normalized, max_bits=S)
+
+        # plan on a shadow layout table (same logic as the per-step path)
+        plan: list[tuple] = []
+        mats: list[jax.Array] = []
+        saved = (self.re, self.im, list(self.axis_of))
+        self.re = self.im = None  # force planning-only: steps must not run
+
+        def record(kind, *args):
+            plan.append((kind,) + args)
+
+        try:
+            for u, tgts in windows:
+                self._plan_only = record
+                self._ensure_slab_resident(tgts)
+                positions = [self.axis_of[t] - slab_start for t in tgts]
+                w_slab = fusion._np_expand(np.asarray(u, np.complex128), S,
+                                           positions)
+                record("matmul")
+                mats.append((
+                    jnp.asarray(np.ascontiguousarray(w_slab.real.T),
+                                jnp.float32),
+                    jnp.asarray(np.ascontiguousarray(w_slab.imag.T),
+                                jnp.float32)))
+        finally:
+            self._plan_only = None
+            re, im, _ = saved
+        self.re, self.im = _chain_program(
+            re, im, tuple(mats), tuple(plan), N, S,
+            self.use_pallas, self.interpret)
+        return self
 
     def _layout_is_identity(self) -> bool:
         return self.axis_of == list(range(self.N))

@@ -199,3 +199,40 @@ def test_slab_mode_pallas_matmul_interpret():
         psi = qop.apply_unitary(psi, jnp.asarray(g.matrix), tuple(g.indices))
     np.testing.assert_allclose(np.asarray(sv.probs()),
                                np.abs(np.asarray(psi)) ** 2, atol=2e-6)
+
+
+def test_run_compiled_matches_per_step():
+    """Whole-circuit compiled slab execution == per-step == dense."""
+    rng = np.random.default_rng(13)
+    NN = 15
+
+    def rand_u(k):
+        d = 1 << k
+        a = rng.normal(size=(d, d)) + 1j * rng.normal(size=(d, d))
+        q, _ = np.linalg.qr(a)
+        return q.astype(np.complex64)
+
+    gates = [(rand_u(1), (q,)) for q in (0, 3, 12, 7, 9)] + \
+            [(rand_u(2), (2, 14))]
+    sv1 = FastStatevector(NN, fusion_mode="slab")
+    sv1.slab_bits = 4
+    sv1.scatter_move_max = 0
+    sv1.run(gates)
+    sv2 = FastStatevector(NN, fusion_mode="slab")
+    sv2.slab_bits = 4
+    sv2.scatter_move_max = 0
+    sv2.run_compiled(gates)
+    psi = jnp.zeros((1 << NN,), dtype=complex).at[0].set(1.0)
+    for m, t in gates:
+        psi = qop.apply_unitary(psi, jnp.asarray(m), t)
+    p = np.abs(np.asarray(psi)) ** 2
+    np.testing.assert_allclose(np.asarray(sv1.probs()), p, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(sv2.probs()), p, atol=2e-6)
+    assert sv1.axis_of == sv2.axis_of
+    # a second compiled run on the evolved layout still matches
+    sv2.run_compiled(gates)
+    psi2 = psi
+    for m, t in gates:
+        psi2 = qop.apply_unitary(psi2, jnp.asarray(m), t)
+    np.testing.assert_allclose(np.asarray(sv2.probs()),
+                               np.abs(np.asarray(psi2)) ** 2, atol=2e-6)
