@@ -503,15 +503,15 @@ class FastStatevector:
         # plan on a shadow layout table (same logic as the per-step path)
         plan: list[tuple] = []
         mats: list[jax.Array] = []
-        saved = (self.re, self.im, list(self.axis_of))
+        re, im, saved_layout = self.re, self.im, list(self.axis_of)
         self.re = self.im = None  # force planning-only: steps must not run
 
         def record(kind, *args):
             plan.append((kind,) + args)
 
+        self._plan_only = record
         try:
             for u, tgts in windows:
-                self._plan_only = record
                 self._ensure_slab_resident(tgts)
                 positions = [self.axis_of[t] - slab_start for t in tgts]
                 w_slab = fusion._np_expand(np.asarray(u, np.complex128), S,
@@ -522,12 +522,15 @@ class FastStatevector:
                                 jnp.float32),
                     jnp.asarray(np.ascontiguousarray(w_slab.imag.T),
                                 jnp.float32)))
+            self.re, self.im = _chain_program(
+                re, im, tuple(mats), tuple(plan), N, S,
+                self.use_pallas, self.interpret)
+        except BaseException:
+            # roll back: the planes never moved, so the table must not either
+            self.re, self.im, self.axis_of = re, im, saved_layout
+            raise
         finally:
             self._plan_only = None
-            re, im, _ = saved
-        self.re, self.im = _chain_program(
-            re, im, tuple(mats), tuple(plan), N, S,
-            self.use_pallas, self.interpret)
         return self
 
     def _layout_is_identity(self) -> bool:
