@@ -41,6 +41,7 @@ Gate scheduling (``fusion_mode``):
 
 from __future__ import annotations
 
+import functools
 import os
 from dataclasses import dataclass, field
 from functools import partial
@@ -135,41 +136,54 @@ def _upper_move_step(re, im, axes: tuple, num_qubits: int, slab_bits: int,
             _upper_move_raw(im, axes, num_qubits, slab_bits, to_front))
 
 
-@partial(jax.jit, static_argnames=("plan", "num_qubits", "slab_bits",
-                                   "use_pallas", "interpret"),
-         donate_argnums=(0, 1))
-def _chain_program(re, im, mats, plan: tuple, num_qubits: int,
-                   slab_bits: int, use_pallas: bool, interpret: bool):
-    """Whole fused circuit (layout moves + slab matmuls) as ONE program —
-    per-step dispatch costs ~45 ms RTT on the tunnelled TPU, 18x the
-    kernel time, so the chain must live in a single dispatch."""
+@functools.lru_cache(maxsize=256)
+def _chain_program(plan: tuple, mats_bytes: bytes, n_mats: int,
+                   num_qubits: int, slab_bits: int, use_pallas: bool,
+                   interpret: bool):
+    """Build (and cache) a single jitted program for a whole fused circuit.
+
+    Layout moves + slab matmuls all live in ONE dispatch — per-step
+    dispatch costs ~45 ms of RTT on the tunnelled TPU, 18x the kernel
+    time. The window matrices are baked into the program as HLO constants
+    (keyed by their bytes), so repeat runs of the same circuit+layout do
+    ZERO host->device transfers: one dispatch, nothing else.
+    """
     S = slab_bits
     d = 1 << S
-    mi = 0
-    for op in plan:
-        if op[0] == "swap":
-            re = _block_swap_raw(re, num_qubits, S)
-            im = _block_swap_raw(im, num_qubits, S)
-        elif op[0] == "move":
-            _, srcs, front = op
-            re = _upper_move_raw(re, srcs, num_qubits, S, front)
-            im = _upper_move_raw(im, srcs, num_qubits, S, front)
-        elif op[0] == "scatter":
-            re = _move_axes_raw(re, op[1], num_qubits)
-            im = _move_axes_raw(im, op[1], num_qubits)
-        else:  # matmul
-            wtr, wti = mats[mi]
-            mi += 1
-            if use_pallas:
-                re, im = pk.slab_matmul(re, im, wtr, wti, d,
-                                        interpret=interpret)
-            else:
-                xr = re.reshape(-1, d)
-                xi = im.reshape(-1, d)
-                out_r = jnp.dot(xr, wtr) - jnp.dot(xi, wti)
-                out_i = jnp.dot(xi, wtr) + jnp.dot(xr, wti)
-                re, im = out_r.reshape(-1), out_i.reshape(-1)
-    return re, im
+    mats = np.frombuffer(mats_bytes, np.float32).reshape(n_mats, 2, d, d)
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def prog(re, im):
+        mi = 0
+        r, i = re, im
+        for op in plan:
+            if op[0] == "swap":
+                r = _block_swap_raw(r, num_qubits, S)
+                i = _block_swap_raw(i, num_qubits, S)
+            elif op[0] == "move":
+                _, srcs, front = op
+                r = _upper_move_raw(r, srcs, num_qubits, S, front)
+                i = _upper_move_raw(i, srcs, num_qubits, S, front)
+            elif op[0] == "scatter":
+                r = _move_axes_raw(r, op[1], num_qubits)
+                i = _move_axes_raw(i, op[1], num_qubits)
+            else:  # matmul — mats[mi] traced as a program constant
+                wtr = mats[mi, 0]
+                wti = mats[mi, 1]
+                mi += 1
+                if use_pallas:
+                    r, i = pk.slab_matmul(r, i, jnp.asarray(wtr),
+                                          jnp.asarray(wti), d,
+                                          interpret=interpret)
+                else:
+                    xr = r.reshape(-1, d)
+                    xi = i.reshape(-1, d)
+                    out_r = jnp.dot(xr, wtr) - jnp.dot(xi, wti)
+                    out_i = jnp.dot(xi, wtr) + jnp.dot(xr, wti)
+                    r, i = out_r.reshape(-1), out_i.reshape(-1)
+        return r, i
+
+    return prog
 
 
 @partial(jax.jit, static_argnames=("slab_dim",), donate_argnums=(0, 1))
@@ -517,14 +531,14 @@ class FastStatevector:
                 w_slab = fusion._np_expand(np.asarray(u, np.complex128), S,
                                            positions)
                 record("matmul")
-                mats.append((
-                    jnp.asarray(np.ascontiguousarray(w_slab.real.T),
-                                jnp.float32),
-                    jnp.asarray(np.ascontiguousarray(w_slab.imag.T),
-                                jnp.float32)))
-            self.re, self.im = _chain_program(
-                re, im, tuple(mats), tuple(plan), N, S,
-                self.use_pallas, self.interpret)
+                mats.append(np.stack([
+                    np.ascontiguousarray(w_slab.real.T),
+                    np.ascontiguousarray(w_slab.imag.T)]).astype(np.float32))
+            packed = (np.stack(mats) if mats
+                      else np.zeros((0, 2, 1 << S, 1 << S), np.float32))
+            prog = _chain_program(tuple(plan), packed.tobytes(), len(mats),
+                                  N, S, self.use_pallas, self.interpret)
+            self.re, self.im = prog(re, im)
         except BaseException:
             # roll back: the planes never moved, so the table must not either
             self.re, self.im, self.axis_of = re, im, saved_layout
