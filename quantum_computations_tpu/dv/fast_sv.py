@@ -152,21 +152,31 @@ def _chain_program(plan: tuple, mats_bytes: bytes, n_mats: int,
     d = 1 << S
     mats = np.frombuffer(mats_bytes, np.float32).reshape(n_mats, 2, d, d)
 
+    def seq_planes(f, r, i):
+        """Run a per-plane pass plane-AFTER-plane: a transpose cannot be
+        in-place, so concurrent planes peak at 4 buffers (16 GB at N=30 —
+        the measured OOM); sequencing caps the live set at 3 (12 GB)."""
+        r2 = f(r)
+        r2, i = jax.lax.optimization_barrier((r2, i))
+        i2 = f(i)
+        return jax.lax.optimization_barrier((r2, i2))
+
     @partial(jax.jit, donate_argnums=(0, 1))
     def prog(re, im):
         mi = 0
         r, i = re, im
         for op in plan:
             if op[0] == "swap":
-                r = _block_swap_raw(r, num_qubits, S)
-                i = _block_swap_raw(i, num_qubits, S)
+                r, i = seq_planes(
+                    lambda x: _block_swap_raw(x, num_qubits, S), r, i)
             elif op[0] == "move":
                 _, srcs, front = op
-                r = _upper_move_raw(r, srcs, num_qubits, S, front)
-                i = _upper_move_raw(i, srcs, num_qubits, S, front)
+                r, i = seq_planes(
+                    lambda x: _upper_move_raw(x, srcs, num_qubits, S, front),
+                    r, i)
             elif op[0] == "scatter":
-                r = _move_axes_raw(r, op[1], num_qubits)
-                i = _move_axes_raw(i, op[1], num_qubits)
+                r, i = seq_planes(
+                    lambda x: _move_axes_raw(x, op[1], num_qubits), r, i)
             else:  # matmul — mats[mi] traced as a program constant
                 wtr = mats[mi, 0]
                 wti = mats[mi, 1]
