@@ -340,8 +340,13 @@ def _run_slab_engine(jax, jnp, qop, achieved_gbps):
     from quantum_computations_tpu.dv.fast_sv import FastStatevector
 
     H = np.asarray(qop.H)
-    spread = [(3 + 2 * i) % (N - 1) for i in range(14)]
-    spread = list(dict.fromkeys(spread))[:14]
+    if os.environ.get("QCT_SV_SLAB_RESIDENT") == "1":
+        # resident-only chain: matmuls alias in-place, no move passes —
+        # the N=30 engine configuration (transpose moves need 12 GB live)
+        spread = list(range(N - 7, N))
+    else:
+        spread = [(3 + 2 * i) % (N - 1) for i in range(14)]
+        spread = list(dict.fromkeys(spread))[:14]
     gates = [(H, (int(q),)) for q in (spread * 2)[:24]]
     k = len(gates)
 
