@@ -13,6 +13,7 @@ writes ``benchmarks/gkp_grover_tpu_summary.json``.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import sys
@@ -25,11 +26,16 @@ B = os.path.dirname(os.path.abspath(__file__))
 REF_DIR = ("/root/reference/impact_of_finite_squeezing_on_near-term_quantum_"
            "computations_using_gkp_qubits/data")
 
-# our dataset file -> (tagged states, reference dataset file)
+# our dataset globs -> (tagged states, reference dataset file); continuation
+# runs (extra trajectories / dB sweeps, disjoint seeds) land in
+# ``gkp_grover_tpu_<oracle>_*.dat`` and are pooled with the primary file.
 ORACLES = {
-    "gkp_grover_tpu.dat": ((0, 4), "gkp_grover_04.dat"),
-    "gkp_grover_tpu_27.dat": ((2, 7), "gkp_grover_27.dat"),
-    "gkp_grover_tpu_36.dat": ((3, 6), "gkp_grover_36.dat"),
+    ("gkp_grover_tpu.dat", "gkp_grover_tpu_04_*.dat"):
+        ((0, 4), "gkp_grover_04.dat"),
+    ("gkp_grover_tpu_27.dat", "gkp_grover_tpu_27_*.dat"):
+        ((2, 7), "gkp_grover_27.dat"),
+    ("gkp_grover_tpu_36.dat", "gkp_grover_tpu_36_*.dat"):
+        ((3, 6), "gkp_grover_36.dat"),
 }
 
 
@@ -48,15 +54,18 @@ def successes(rows, tagged):
 def main():
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
     report = {"metric": "gkp_grover_tpu_production_dataset", "oracles": []}
-    for ours_name, (tagged, ref_name) in ORACLES.items():
-        ours_path = os.path.join(B, ours_name)
-        if not os.path.exists(ours_path):
+    for patterns, (tagged, ref_name) in ORACLES.items():
+        paths = sorted(p for pat in patterns
+                       for p in glob.glob(os.path.join(B, pat))
+                       if not p.endswith(".meta.json"))
+        if not paths:
             report["oracles"].append({"oracle": ref_name, "status": "missing"})
             continue
-        ours = successes(json.load(open(ours_path)), tagged)
+        rows = [row for p in paths for row in json.load(open(p))]
+        ours = successes(rows, tagged)
         ref = successes(json.load(open(os.path.join(REF_DIR, ref_name))), tagged)
-        meta_path = ours_path + ".meta.json"
-        meta = json.load(open(meta_path)) if os.path.exists(meta_path) else []
+        meta = [m for p in paths if os.path.exists(p + ".meta.json")
+                for m in json.load(open(p + ".meta.json"))]
         cells = []
         for eps, vals in sorted(ours.items()):
             v = np.asarray(vals)

@@ -196,6 +196,102 @@ def _chain_program(plan: tuple, mats_bytes: bytes, n_mats: int,
     return prog
 
 
+def _swap_newpos(N: int, S: int):
+    """old→new physical-axis map of the slab <-> block-B swap."""
+    slab_start = N - S
+
+    def f(p):
+        if p >= slab_start:
+            return p - S
+        if p >= slab_start - S:
+            return p + S
+        return p
+
+    return f
+
+
+def _move_newpos(N: int, S: int, srcs: tuple[int, ...], to_front: bool):
+    """old→new physical-axis map of an upper-region move (slab untouched)."""
+    Nu = N - S
+    src_set = set(srcs)
+    others = [p for p in range(Nu) if p not in src_set]
+    newpos = {}
+    if to_front:
+        for r, p in enumerate(srcs):
+            newpos[p] = r
+        for r, p in enumerate(others):
+            newpos[p] = len(srcs) + r
+    else:
+        for r, p in enumerate(others):
+            newpos[p] = r
+        for r, p in enumerate(srcs):
+            newpos[p] = len(others) + r
+    return lambda p: newpos.get(p, p)
+
+
+def _scatter_newpos(N: int, move: tuple[int, ...]):
+    """old→new physical-axis map of the direct grouped move-to-end."""
+    moved = set(move)
+    untouched = [p for p in range(N) if p not in moved]
+    newpos = {p: r for r, p in enumerate(untouched)}
+    for r, p in enumerate(move):
+        newpos[p] = len(untouched) + r
+    return lambda p: newpos[p]
+
+
+def plan_slab_residency(N: int, S: int, scatter_move_max: int,
+                        phys: list[int], emit) -> list[int]:
+    """Emit the minor-safe pass sequence bringing physical axes ``phys``
+    into the minor slab (the last S axes of an N-axis register).
+
+    ``emit(op, newpos)`` executes or records ONE pass and must apply
+    ``newpos`` (old → new physical axis) to the caller's own layout
+    bookkeeping. Ops are ``("swap",)``, ``("move", srcs, to_front)`` and
+    ``("scatter", srcs)`` — see the ``_*_step`` kernels above. Returns the
+    targets' final physical positions (all >= N - S).
+
+    The pass selection is the measured-on-v5e scheme shared by the
+    single-chip slab engine and the sharded per-device blocks: arbitrary
+    grouped moves do NOT compile at N>=28 (tiny trailing axes pad to
+    34-64 GB copies), so large N uses only passes whose transpose output
+    keeps a 2^S-wide minor axis:
+
+    1. targets in BOTH the slab and the upper region: move the upper
+       targets to the front of the upper region (1 pass — front positions
+       are outside block B since N >= 3S + 1 there);
+    2. any slab-resident target: slab <-> B swap evicts them to B;
+    3. move all targets to the end of the upper region;
+    4. slab <-> B swap brings them in.
+    """
+    slab_start = N - S
+    phys = list(phys)
+    if all(p >= slab_start for p in phys):
+        return phys
+    if N < 3 * S + 1 or N <= scatter_move_max:
+        srcs = tuple(sorted(phys))
+        f = _scatter_newpos(N, srcs)
+        emit(("scatter", srcs), f)
+        return [f(p) for p in phys]
+    in_slab = [p for p in phys if p >= slab_start]
+    upper = tuple(sorted(p for p in phys if p < slab_start))
+    if in_slab and upper:
+        f = _move_newpos(N, S, upper, True)
+        emit(("move", upper, True), f)
+        phys = [f(p) for p in phys]
+    if in_slab:
+        f = _swap_newpos(N, S)
+        emit(("swap",), f)
+        phys = [f(p) for p in phys]
+    assert all(p < slab_start for p in phys)
+    srcs = tuple(sorted(phys))
+    f = _move_newpos(N, S, srcs, False)
+    emit(("move", srcs, False), f)
+    phys = [f(p) for p in phys]
+    f = _swap_newpos(N, S)
+    emit(("swap",), f)
+    return [f(p) for p in phys]
+
+
 @partial(jax.jit, static_argnames=("slab_dim",), donate_argnums=(0, 1))
 def _slab_matmul_step(re, im, w_re, w_im, slab_dim: int):
     """Slab window application: (R, 2^S) @ (2^S, 2^S) split-real matmuls —
@@ -384,99 +480,34 @@ class FastStatevector:
         return self
 
     # -- slab engine -------------------------------------------------------
-    def _swap_blocks(self):
-        """slab <-> block-B swap + bookkeeping (minor-safe at any N)."""
-        N, S = self.N, self.slab_bits
-        slab_start = N - S
-        if self._plan_only is not None:
-            self._plan_only("swap")
-        else:
-            self.re, self.im = _block_swap_step(self.re, self.im, N, S)
-
-        def newpos(p):
-            if p >= slab_start:
-                return p - S
-            if p >= slab_start - S:
-                return p + S
-            return p
-
-        self.axis_of = [newpos(p) for p in self.axis_of]
-
-    def _move_upper(self, srcs: tuple[int, ...], *, to_front: bool):
-        """Relocate upper axes ``srcs`` (sorted) + bookkeeping."""
-        N, S = self.N, self.slab_bits
-        Nu = N - S
-        if self._plan_only is not None:
-            self._plan_only("move", srcs, to_front)
-        else:
-            self.re, self.im = _upper_move_step(self.re, self.im, srcs, N, S,
-                                                to_front)
-        src_set = set(srcs)
-        others = [p for p in range(Nu) if p not in src_set]
-        newpos = {}
-        if to_front:
-            for r, p in enumerate(srcs):
-                newpos[p] = r
-            for r, p in enumerate(others):
-                newpos[p] = len(srcs) + r
-        else:
-            for r, p in enumerate(others):
-                newpos[p] = r
-            for r, p in enumerate(srcs):
-                newpos[p] = len(others) + r
-        self.axis_of = [newpos.get(p, p) for p in self.axis_of]
-
     def _ensure_slab_resident(self, tgts: tuple[int, ...]):
         """Bring all target axes into the minor slab (lazy layout).
 
-        Large-N sequence of minor-safe passes (every transpose keeps a
-        128-wide minor axis — arbitrary grouped moves do NOT compile at
-        N>=28, the tiny trailing axes pad to 34-64 GB copies):
-
-        1. if targets sit in BOTH the slab and the upper region: move ALL
-           upper targets to the front of the upper region (1 pass; room is
-           guaranteed since N >= 3S there);
-        2. if any target is slab-resident: slab<->B swap evicts them to B
-           (1 pass; block B holds no targets by step 1);
-        3. move all targets to the end of the upper region (1 pass);
-        4. slab<->B swap brings them in (1 pass).
-
-        Typical cost is 2 passes at ~5 ms each (no residents: steps 3-4
-        only); windows already resident pay nothing. N <= 21 uses the
-        direct grouped move — its tiny-axis layout padding is only
+        Pass selection lives in :func:`plan_slab_residency` (shared with
+        the sharded engine); here each emitted pass either runs on the
+        planes or is recorded by ``run_compiled``'s plan-only hook.
+        Typical cost is 2 passes at ~5 ms each (no slab residents);
+        windows already resident pay nothing. N <= scatter_move_max uses
+        the direct grouped move — its tiny-axis layout padding is only
         prohibitive at large N (64x of a 16 MB plane is nothing; of a
         1-4 GB plane it exceeds HBM).
         """
         N, S = self.N, self.slab_bits
-        slab_start = N - S
         phys = [self.axis_of[t] for t in tgts]
-        if all(p >= slab_start for p in phys):
-            return
-        if N < 3 * S + 1 or N <= self.scatter_move_max:
-            move = tuple(sorted(phys))
+
+        def emit(op, newpos):
             if self._plan_only is not None:
-                self._plan_only("scatter", move)
-            else:
-                self.re, self.im = _move_axes_step(self.re, self.im, move, N)
-            moved = set(move)
-            untouched = [p for p in range(N) if p not in moved]
-            newpos = {p: r for r, p in enumerate(untouched)}
-            for r, p in enumerate(move):
-                newpos[p] = len(untouched) + r
-            self.axis_of = [newpos[p] for p in self.axis_of]
-            return
-        in_slab = [p for p in phys if p >= slab_start]
-        upper = [p for p in phys if p < slab_start]
-        if in_slab and upper:
-            # clear the upper targets out of block B (front positions are
-            # outside B because N >= 2S + len(upper) when N >= 3S + 1)
-            self._move_upper(tuple(sorted(upper)), to_front=True)
-        if in_slab:
-            self._swap_blocks()
-        phys = [self.axis_of[t] for t in tgts]
-        assert all(p < slab_start for p in phys)
-        self._move_upper(tuple(sorted(phys)), to_front=False)
-        self._swap_blocks()
+                self._plan_only(*op)
+            elif op[0] == "swap":
+                self.re, self.im = _block_swap_step(self.re, self.im, N, S)
+            elif op[0] == "move":
+                self.re, self.im = _upper_move_step(self.re, self.im, op[1],
+                                                    N, S, op[2])
+            else:  # scatter
+                self.re, self.im = _move_axes_step(self.re, self.im, op[1], N)
+            self.axis_of = [newpos(p) for p in self.axis_of]
+
+        plan_slab_residency(N, S, self.scatter_move_max, phys, emit)
 
     def _apply_slab_window(self, u: np.ndarray, tgts: tuple[int, ...]):
         """Apply one fused window with the lazy-layout slab scheme.

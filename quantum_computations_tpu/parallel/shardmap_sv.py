@@ -205,7 +205,9 @@ class ShardMapStateVector:
         ``gates``: (matrix, qubits) tuples or gate objects, as accepted by
         :func:`..dv.fusion.fuse_windows`. Windows are capped at the
         per-device local bit count so every window applies communication-free
-        after its layout swaps.
+        after its layout swaps. Each window is its own dispatch through the
+        scattered grouped einsum — fine on the CPU mesh; the TPU hot path
+        is :meth:`run_fused_slab`.
         """
         from ..dv import fusion as dvfusion
 
@@ -214,6 +216,140 @@ class ShardMapStateVector:
         for u, tgts in dvfusion.fuse_windows(gates, max_bits=mb):
             self.apply_window(u, tgts)
         return self
+
+    # -- fused slab execution -------------------------------------------------
+    SCATTER_MOVE_MAX = 21  # larger per-device blocks use only minor-safe passes
+
+    def run_fused_slab(self, gates, max_bits: int | None = None):
+        """Whole fused circuit as ONE shard_map program over the mesh.
+
+        The sharded twin of :meth:`..dv.fast_sv.FastStatevector.run_compiled`:
+        every device block keeps a 2^S-wide minor *slab* with a lazy
+        logical→physical layout, windows apply as pure ``(R, 2^S) @
+        (2^S, 2^S)`` MXU contractions, and layout moves use only minor-safe
+        passes (:func:`..dv.fast_sv.plan_slab_residency` — the scattered
+        grouped einsum of :meth:`apply_window` measured 22x the bandwidth
+        floor on v5e, and its rank-N views stop compiling at large N).
+        Collective index swaps (pairwise ``all_to_all``), local layout
+        passes and slab matmuls are all traced into a single program, so a
+        whole circuit is one dispatch; the window matrices are baked in as
+        HLO constants and programs are cached per (plan, matrices).
+
+        The final layout lands in ``self.slot_of`` — every readout method
+        (``probabilities``/``measure``/``sample``/``to_dense``) is already
+        layout-aware, so no restore pass is needed.
+        """
+        from ..dv import fast_sv
+        from ..dv import fusion as dvfusion
+
+        L, k, N = self.L, self.k, self.N
+        S = min(dvfusion.MAX_WINDOW_BITS if max_bits is None
+                else int(max_bits), L)
+        slab_start_slot = N - S
+        normalized = []
+        for g in gates:
+            mat, tgts = g if isinstance(g, tuple) else (g.matrix, tuple(g.indices))
+            normalized.append((np.asarray(mat), tuple(int(t) for t in tgts)))
+        if any(len(t) > S for _, t in normalized):
+            raise ValueError(f"gate support exceeds the {S}-bit slab")
+        windows = dvfusion.fuse_windows(normalized, max_bits=S)
+
+        plan: list[tuple] = []
+        mats: list[np.ndarray] = []
+        saved = list(self.slot_of)
+        try:
+            for u, qubits in windows:
+                # 1) collective swaps bring global targets into local slots
+                for q in qubits:
+                    slot = self.slot_of[q]
+                    if slot >= k:
+                        continue
+                    tslots = {self.slot_of[t] for t in qubits}
+                    cands = [s for s in range(k, N) if s not in tslots]
+                    # prefer victims outside the minor slab (resident
+                    # windows stay resident); tie-break: least-active
+                    # (highest-logical-index) occupant, as in _ensure_local
+                    outside = [s for s in cands if s < slab_start_slot]
+                    pool = outside or cands
+                    victim = max(pool, key=lambda s: self.slot_of.index(s))
+                    plan.append(("a2a", slot, victim - k))
+                    qg = self.slot_of.index(slot)
+                    ql = self.slot_of.index(victim)
+                    self.slot_of[qg], self.slot_of[ql] = victim, slot
+                # 2) minor-safe local passes park the targets in the slab
+                phys = [self.slot_of[q] - k for q in qubits]
+
+                def emit(op, newpos):
+                    plan.append(op)
+                    self.slot_of = [k + newpos(s - k) if s >= k else s
+                                    for s in self.slot_of]
+
+                fast_sv.plan_slab_residency(L, S, self.SCATTER_MOVE_MAX,
+                                            phys, emit)
+                # 3) slab matmul; window expanded to 2^S on the host
+                positions = [self.slot_of[q] - k - (L - S) for q in qubits]
+                w = dvfusion._np_expand(np.asarray(u, np.complex128), S,
+                                        positions)
+                plan.append(("matmul",))
+                mats.append(w)
+            d = 1 << S
+            packed = (np.stack(mats) if mats
+                      else np.zeros((0, d, d), np.complex128))
+            prog = self._fused_slab_program(tuple(plan), packed.tobytes(),
+                                            len(mats), S)
+            self.state = prog(self.state)
+        except BaseException:
+            self.slot_of = saved
+            raise
+        return self
+
+    def _fused_slab_program(self, plan: tuple, mats_bytes: bytes,
+                            n_mats: int, S: int):
+        """Build (and cache per instance) the single-dispatch program."""
+        cache = getattr(self, "_fused_cache", None)
+        if cache is None:
+            cache = self._fused_cache = {}
+        key = (plan, mats_bytes, S)
+        if key in cache:
+            return cache[key]
+        from ..dv import fast_sv
+
+        d = 1 << S
+        mats = np.frombuffer(mats_bytes, np.complex128).reshape(n_mats, d, d)
+        axis, L, k = self.axis, self.L, self.k
+        cdtype = complex_dtype()
+
+        @partial(shard_map, mesh=self.mesh, in_specs=P(axis),
+                 out_specs=P(axis))
+        def body(block):
+            x = block.reshape(-1)
+            mi = 0
+            for op in plan:
+                if op[0] == "a2a":
+                    gslot, j = op[1], op[2]
+                    pre, post = 1 << j, 1 << (L - j - 1)
+                    groups = _pair_groups(k, gslot)
+                    y = x.reshape(1, pre, 2, post)
+                    y = jax.lax.all_to_all(y, axis, split_axis=2,
+                                           concat_axis=2,
+                                           axis_index_groups=groups,
+                                           tiled=True)
+                    x = y.reshape(-1)
+                elif op[0] == "swap":
+                    x = fast_sv._block_swap_raw(x, L, S)
+                elif op[0] == "move":
+                    x = fast_sv._upper_move_raw(x, op[1], L, S, op[2])
+                elif op[0] == "scatter":
+                    x = fast_sv._move_axes_raw(x, op[1], L)
+                else:  # matmul — the window matrix traced as a constant
+                    w = jnp.asarray(mats[mi].T, dtype=cdtype)
+                    mi += 1
+                    x = (x.reshape(-1, d) @ w).reshape(-1)
+            return x.reshape(1, -1)
+
+        prog = jax.jit(body)
+        cache[key] = prog
+        return prog
 
     # -- observables --------------------------------------------------------
     def norm(self):

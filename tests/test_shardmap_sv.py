@@ -236,3 +236,71 @@ def test_window_cap_respects_local_bits():
     sv = ShardMapStateVector(N)  # L = 5
     with pytest.raises(ValueError):
         sv.apply_window(rand_u(2**6), tuple(range(6)))
+
+
+def test_run_fused_slab_matches_dense():
+    """Single-dispatch slab execution matches dense: collective swaps,
+    minor-safe layout passes and slab matmuls in one program."""
+    N = 10
+    sv = ShardMapStateVector(N)  # 8 devices -> k=3, L=7
+    circuit = [(rand_u(2), (q,)) for q in [9, 4, 0, 6, 2, 8, 5]]
+    circuit += [(rand_u(4), (1, 7)), (rand_u(2), (3,)), (rand_u(4), (9, 2))]
+    sv.run_fused_slab(circuit)
+    np.testing.assert_allclose(sv.to_dense(), dense_run(N, circuit), atol=1e-6)
+
+
+def test_run_fused_slab_small_slab_forces_moves():
+    """A slab smaller than the local block exercises the residency passes
+    (scatter at small L) and repeated window application on a permuted
+    layout."""
+    N = 9
+    sv = ShardMapStateVector(N)  # k=3, L=6
+    circuit = [(rand_u(4), (3, 8)), (rand_u(4), (4, 6)), (rand_u(2), (5,)),
+               (rand_u(4), (3, 4)), (rand_u(4), (7, 8)), (rand_u(2), (0,))]
+    sv.run_fused_slab(circuit, max_bits=2)
+    np.testing.assert_allclose(sv.to_dense(), dense_run(N, circuit), atol=1e-6)
+
+
+def test_run_fused_slab_minor_safe_passes():
+    """Force the minor-safe (move/swap) pass sequence by dropping
+    SCATTER_MOVE_MAX below L with a slab small enough that L >= 3S+1."""
+    N = 10
+    sv = ShardMapStateVector(N)  # k=3, L=7
+    sv.SCATTER_MOVE_MAX = 0
+    circuit = [(rand_u(4), (3, 9)), (rand_u(4), (4, 5)), (rand_u(4), (8, 9)),
+               (rand_u(4), (3, 4))]
+    sv.run_fused_slab(circuit, max_bits=2)
+    assert any(op[0] in ("move", "swap")
+               for op in list(sv._fused_cache)[0][0])
+    np.testing.assert_allclose(sv.to_dense(), dense_run(N, circuit), atol=1e-6)
+
+
+def test_run_fused_slab_then_measure_and_sample():
+    """Readout stays layout-aware after slab execution: probabilities,
+    mid-circuit measurement and Born sampling on the permuted slot table."""
+    import jax
+
+    N = 9
+    sv = ShardMapStateVector(N)
+    circuit = [(qop.H, (0,)), (rand_u(4), (0, 5)), (rand_u(2), (8,)),
+               (rand_u(4), (7, 8))]
+    sv.run_fused_slab(circuit)
+    psi = dense_run(N, circuit)
+    for q in (0, 5, 8):
+        p = np.asarray(sv.probabilities(q))
+        t = psi.reshape((2,) * N)
+        axes = tuple(i for i in range(N) if i != q)
+        want1 = float((np.abs(t) ** 2).sum(axis=axes)[1])
+        np.testing.assert_allclose(p[1], want1, atol=1e-6)
+    out = sv.measure(5, result=0)
+    assert out == 0
+    bits = sv.sample(jax.random.PRNGKey(3), 200)
+    assert bits.shape == (200, N)
+    assert (bits[:, 5] == 0).all()  # collapsed qubit stays collapsed
+
+
+def test_run_fused_slab_oversize_gate_raises():
+    N = 8
+    sv = ShardMapStateVector(N)  # L=5
+    with pytest.raises(ValueError):
+        sv.run_fused_slab([(rand_u(2**6), tuple(range(6)))])
