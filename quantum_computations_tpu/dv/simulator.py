@@ -69,6 +69,22 @@ class Simulator:
 
     def _execute(self, state: jax.Array, key: jax.Array):
         results = []
+        n_qubits = int(np.log2(state.shape[-1]))
+        for gate in self.circuit:
+            inner = gate.gate if isinstance(gate, ClassicalControl) else gate
+            if isinstance(inner, Insert):
+                if inner.indices[0] > n_qubits:
+                    raise ValueError(
+                        f"{inner} inserts past the end of the "
+                        f"{n_qubits}-qubit register")
+                n_qubits += 1
+            else:
+                bad = [i for i in inner.indices
+                       if i < 0 or i >= n_qubits]
+                if bad:
+                    raise ValueError(
+                        f"{inner} addresses qubit(s) {bad} outside the "
+                        f"{n_qubits}-qubit register")
         for gate in self.circuit:
             if isinstance(gate, ClassicalControl):
                 cond = gate.eval(results)
