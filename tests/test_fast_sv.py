@@ -236,3 +236,37 @@ def test_run_compiled_matches_per_step():
         psi2 = qop.apply_unitary(psi2, jnp.asarray(m), t)
     np.testing.assert_allclose(np.asarray(sv2.probs()),
                                np.abs(np.asarray(psi2)) ** 2, atol=2e-6)
+
+
+def test_plan_slab_residency_properties():
+    """Property test of the shared pass planner: for random (N, S, targets)
+    the emitted newpos maps are consistent permutations, the targets end in
+    the slab, and above the scatter cutoff only minor-safe passes appear."""
+    from quantum_computations_tpu.dv.fast_sv import plan_slab_residency
+
+    rng = np.random.default_rng(11)
+    for trial in range(200):
+        N = int(rng.integers(4, 32))
+        S = int(rng.integers(1, min(7, N) + 1))
+        k = int(rng.integers(1, S + 1))
+        phys = list(rng.choice(N, size=k, replace=False))
+        scatter_max = int(rng.choice([0, 21, N]))
+        ops = []
+        pos = list(range(N))  # pos[p] = current position of original axis p
+
+        def emit(op, newpos):
+            ops.append(op)
+            # newpos must be a bijection on 0..N-1
+            mapped = [newpos(p) for p in range(N)]
+            assert sorted(mapped) == list(range(N)), (op, mapped)
+            for i in range(N):
+                pos[i] = newpos(pos[i])
+
+        final = plan_slab_residency(N, S, scatter_max, phys, emit)
+        # returned positions agree with tracking through the newpos maps
+        assert final == [pos[p] for p in phys]
+        assert all(f >= N - S for f in final), (N, S, phys, final)
+        minor_safe_regime = N >= 3 * S + 1 and N > scatter_max
+        if minor_safe_regime:
+            assert all(op[0] in ("move", "swap") for op in ops), ops
+            assert len(ops) <= 4
