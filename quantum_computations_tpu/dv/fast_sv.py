@@ -53,7 +53,7 @@ import numpy as np
 from . import fusion
 from ..ops import pallas_kernels as pk
 
-__all__ = ["FastStatevector"]
+__all__ = ["FastStatevector", "order_windows", "plan_slab_residency"]
 
 
 @partial(jax.jit, static_argnames=("targets", "num_qubits"),
@@ -292,6 +292,83 @@ def plan_slab_residency(N: int, S: int, scatter_move_max: int,
     return [f(p) for p in phys]
 
 
+def _residency_cost(N: int, S: int, scatter_move_max: int,
+                    layout: list[int], tgts: tuple[int, ...]):
+    """(pass_count, layout_after) of bringing logical ``tgts`` slab-resident
+    from ``layout`` — a pure simulation of :func:`plan_slab_residency` on a
+    shadow table (no planes touched)."""
+    lay = list(layout)
+    passes = 0
+
+    def emit(op, newpos):
+        nonlocal passes
+        passes += 1
+        lay[:] = [newpos(p) for p in lay]
+
+    plan_slab_residency(N, S, scatter_move_max, [lay[t] for t in tgts], emit)
+    return passes, lay
+
+
+def order_windows_by_cost(windows, state, cost_fn):
+    """Commutation-exact greedy scheduling of fused windows.
+
+    Windows on disjoint qubit supports commute exactly, so any topological
+    order of the overlap-dependency DAG is equivalent. Lazy layouts make the
+    order *performance-relevant*: a window whose targets are already
+    resident costs nothing, one that isn't pays layout passes (and, on the
+    mesh engine, collective index swaps). Greedy list scheduling: among
+    ready windows pick the one whose simulated residency plan from the
+    current shadow ``state`` has the lowest ``cost_fn(state, targets) ->
+    (cost, state_after)``, tie-broken by original circuit position; then
+    advance the shadow state.
+
+    The reference applies every gate as its own dense O(4^N) operator in
+    strict circuit order (``simulators/dv_simulator/gates.py:44-54``); it
+    has no scheduling layer at all.
+    """
+    n = len(windows)
+    if n <= 1:
+        return list(windows)
+    supports = [set(t) for _, t in windows]
+    preds_left = [0] * n
+    succs: list[list[int]] = [[] for _ in range(n)]
+    for i in range(n):
+        for j in range(i):
+            if supports[i] & supports[j]:
+                preds_left[i] += 1
+                succs[j].append(i)
+    ready = [i for i in range(n) if preds_left[i] == 0]
+    order: list[int] = []
+    while ready:
+        ready.sort()
+        best, best_cost, best_state = None, None, None
+        for i in ready:
+            cost, state_after = cost_fn(state, windows[i][1])
+            if best_cost is None or cost < best_cost:
+                best, best_cost, best_state = i, cost, state_after
+                if cost == 0:
+                    break  # can't beat a resident window
+        ready.remove(best)
+        order.append(best)
+        state = best_state
+        for s in succs[best]:
+            preds_left[s] -= 1
+            if preds_left[s] == 0:
+                ready.append(s)
+    return [windows[i] for i in order]
+
+
+def order_windows(windows, N: int, S: int, scatter_move_max: int,
+                  layout: list[int]):
+    """Single-chip slab-engine planner: schedule windows to minimise
+    minor-safe layout passes (~5 ms HBM passes each), then let the caller
+    merge now-adjacent same-support windows
+    (:func:`..dv.fusion.merge_adjacent_windows`)."""
+    return order_windows_by_cost(
+        windows, list(layout),
+        lambda lay, tgts: _residency_cost(N, S, scatter_move_max, lay, tgts))
+
+
 @partial(jax.jit, static_argnames=("slab_dim",), donate_argnums=(0, 1))
 def _slab_matmul_step(re, im, w_re, w_im, slab_dim: int):
     """Slab window application: (R, 2^S) @ (2^S, 2^S) split-real matmuls —
@@ -400,6 +477,9 @@ class FastStatevector:
         # (with a small slab_bits) to exercise the minor-safe sequence
         self.scatter_move_max = 21
         self._plan_only = None  # set by run_compiled during planning
+        # layout-aware window scheduling (order_windows); exact, default on
+        self.plan_windows = os.environ.get("QCT_SV_PLAN", "1") != "0"
+        self.layout_passes = 0  # move/swap/scatter passes executed so far
 
     # -- scheduling ------------------------------------------------------
     def _bit(self, qubit: int) -> int:
@@ -450,10 +530,7 @@ class FastStatevector:
         """Apply a sequence of gate objects (``.matrix`` + ``.indices``) or
         ``(matrix, targets)`` tuples. Returns self."""
         if self.fusion_mode in ("window", "slab"):
-            max_bits = (self.slab_bits if self.fusion_mode == "slab"
-                        else min(fusion.MAX_WINDOW_BITS, self.N))
-            normalized = [self._normalize(g) for g in gates]
-            for u, tgts in fusion.fuse_windows(normalized, max_bits=max_bits):
+            for u, tgts in self._windows(gates):
                 if self.fusion_mode == "slab":
                     self._apply_slab_window(u, tgts)
                 else:
@@ -480,6 +557,21 @@ class FastStatevector:
         return self
 
     # -- slab engine -------------------------------------------------------
+    def _windows(self, gates):
+        """Fuse ``gates`` into windows; in slab mode additionally schedule
+        them with the layout planner (exact commuting reorder + adjacent
+        merge) unless ``plan_windows`` is off."""
+        max_bits = (self.slab_bits if self.fusion_mode == "slab"
+                    else min(fusion.MAX_WINDOW_BITS, self.N))
+        normalized = [self._normalize(g) for g in gates]
+        windows = fusion.fuse_windows(normalized, max_bits=max_bits)
+        if self.fusion_mode == "slab" and self.plan_windows:
+            windows = order_windows(windows, self.N, self.slab_bits,
+                                    self.scatter_move_max, self.axis_of)
+            windows = fusion.merge_adjacent_windows(windows,
+                                                    max_bits=max_bits)
+        return windows
+
     def _ensure_slab_resident(self, tgts: tuple[int, ...]):
         """Bring all target axes into the minor slab (lazy layout).
 
@@ -496,6 +588,7 @@ class FastStatevector:
         phys = [self.axis_of[t] for t in tgts]
 
         def emit(op, newpos):
+            self.layout_passes += 1
             if self._plan_only is not None:
                 self._plan_only(*op)
             elif op[0] == "swap":
@@ -552,8 +645,7 @@ class FastStatevector:
             raise ValueError("run_compiled requires fusion_mode='slab'")
         N, S = self.N, self.slab_bits
         slab_start = N - S
-        normalized = [self._normalize(g) for g in gates]
-        windows = fusion.fuse_windows(normalized, max_bits=S)
+        windows = self._windows(gates)
 
         # plan on a shadow layout table (same logic as the per-step path)
         plan: list[tuple] = []

@@ -28,8 +28,8 @@ import numpy as np
 
 from ..config import PRECISION
 
-__all__ = ["fuse_windows", "apply_window", "apply_window_split",
-           "MAX_WINDOW_BITS"]
+__all__ = ["fuse_windows", "merge_adjacent_windows", "apply_window",
+           "apply_window_split", "MAX_WINDOW_BITS"]
 
 MAX_WINDOW_BITS = 7  # 2^7 = 128 = one MXU/lane tile
 
@@ -96,6 +96,32 @@ def fuse_windows(gates, max_bits: int = MAX_WINDOW_BITS,
         support |= tset
     flush()
     return windows
+
+
+def merge_adjacent_windows(windows, max_bits: int = MAX_WINDOW_BITS,
+                           dtype=np.complex128):
+    """Merge consecutive windows whose union support fits ``max_bits``.
+
+    :func:`fuse_windows` already packs consecutive *gates*; this pass packs
+    consecutive *windows* — useful after a scheduler has reordered commuting
+    windows so same-support windows became adjacent. Exact: adjacent windows
+    compose as operators regardless of support overlap.
+    """
+    out: list[tuple[np.ndarray, tuple[int, ...]]] = []
+    for u, t in windows:
+        if out:
+            pu, pt = out[-1]
+            union = sorted(set(pt) | set(t))
+            if len(union) <= max_bits:
+                k = len(union)
+                a = _np_expand(np.asarray(pu, dtype=dtype), k,
+                               [union.index(q) for q in pt])
+                b = _np_expand(np.asarray(u, dtype=dtype), k,
+                               [union.index(q) for q in t])
+                out[-1] = (b @ a, tuple(union))
+                continue
+        out.append((np.asarray(u, dtype=dtype), tuple(t)))
+    return out
 
 
 def _reorder_1q_runs(gates):

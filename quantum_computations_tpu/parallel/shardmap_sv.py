@@ -18,6 +18,7 @@ arXiv:2203.16044), expressed with jax collectives over ICI:
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -219,8 +220,53 @@ class ShardMapStateVector:
 
     # -- fused slab execution -------------------------------------------------
     SCATTER_MOVE_MAX = 21  # larger per-device blocks use only minor-safe passes
+    A2A_PASS_COST = 4      # scheduler weight: one collective swap vs one local pass
 
-    def run_fused_slab(self, gates, max_bits: int | None = None):
+    def _plan_window_residency(self, slot_of: list[int],
+                               qubits: tuple[int, ...], S: int,
+                               plan: list[tuple]) -> list[int]:
+        """Append to ``plan`` the collective swaps + minor-safe local passes
+        that make logical ``qubits`` minor-slab-resident from layout
+        ``slot_of``; returns the updated layout (input not mutated).
+
+        Pure planning over the slot table — shared by the real trace build
+        and the window scheduler's cost simulation.
+        """
+        from ..dv import fast_sv
+
+        L, k, N = self.L, self.k, self.N
+        slab_start_slot = N - S
+        slot_of = list(slot_of)
+        # 1) collective swaps bring global targets into local slots
+        for q in qubits:
+            slot = slot_of[q]
+            if slot >= k:
+                continue
+            tslots = {slot_of[t] for t in qubits}
+            cands = [s for s in range(k, N) if s not in tslots]
+            # prefer victims outside the minor slab (resident windows stay
+            # resident); tie-break: least-active (highest-logical-index)
+            # occupant, as in _ensure_local
+            outside = [s for s in cands if s < slab_start_slot]
+            pool = outside or cands
+            victim = max(pool, key=lambda s: slot_of.index(s))
+            plan.append(("a2a", slot, victim - k))
+            qg = slot_of.index(slot)
+            ql = slot_of.index(victim)
+            slot_of[qg], slot_of[ql] = victim, slot
+        # 2) minor-safe local passes park the targets in the slab
+        phys = [slot_of[q] - k for q in qubits]
+
+        def emit(op, newpos):
+            plan.append(op)
+            slot_of[:] = [k + newpos(s - k) if s >= k else s
+                          for s in slot_of]
+
+        fast_sv.plan_slab_residency(L, S, self.SCATTER_MOVE_MAX, phys, emit)
+        return slot_of
+
+    def run_fused_slab(self, gates, max_bits: int | None = None,
+                       plan_windows: bool | None = None):
         """Whole fused circuit as ONE shard_map program over the mesh.
 
         The sharded twin of :meth:`..dv.fast_sv.FastStatevector.run_compiled`:
@@ -245,7 +291,6 @@ class ShardMapStateVector:
         L, k, N = self.L, self.k, self.N
         S = min(dvfusion.MAX_WINDOW_BITS if max_bits is None
                 else int(max_bits), L)
-        slab_start_slot = N - S
         normalized = []
         for g in gates:
             mat, tgts = g if isinstance(g, tuple) else (g.matrix, tuple(g.indices))
@@ -253,54 +298,42 @@ class ShardMapStateVector:
         if any(len(t) > S for _, t in normalized):
             raise ValueError(f"gate support exceeds the {S}-bit slab")
         windows = dvfusion.fuse_windows(normalized, max_bits=S)
+        if plan_windows is None:
+            plan_windows = os.environ.get("QCT_SV_PLAN", "1") != "0"
+        if plan_windows:
+            # commutation-exact scheduling: minimise collective swaps
+            # (weighted A2A_PASS_COST) + local layout passes, then merge
+            # now-adjacent same-support windows into single matmuls
+            def cost_fn(slot_of, tgts):
+                sim: list[tuple] = []
+                after = self._plan_window_residency(slot_of, tgts, S, sim)
+                c = sum(self.A2A_PASS_COST if op[0] == "a2a" else 1
+                        for op in sim)
+                return c, after
 
+            windows = fast_sv.order_windows_by_cost(
+                windows, list(self.slot_of), cost_fn)
+            windows = dvfusion.merge_adjacent_windows(windows, max_bits=S)
+
+        # plan on a shadow table; commit only after the program ran
         plan: list[tuple] = []
         mats: list[np.ndarray] = []
-        saved = list(self.slot_of)
-        try:
-            for u, qubits in windows:
-                # 1) collective swaps bring global targets into local slots
-                for q in qubits:
-                    slot = self.slot_of[q]
-                    if slot >= k:
-                        continue
-                    tslots = {self.slot_of[t] for t in qubits}
-                    cands = [s for s in range(k, N) if s not in tslots]
-                    # prefer victims outside the minor slab (resident
-                    # windows stay resident); tie-break: least-active
-                    # (highest-logical-index) occupant, as in _ensure_local
-                    outside = [s for s in cands if s < slab_start_slot]
-                    pool = outside or cands
-                    victim = max(pool, key=lambda s: self.slot_of.index(s))
-                    plan.append(("a2a", slot, victim - k))
-                    qg = self.slot_of.index(slot)
-                    ql = self.slot_of.index(victim)
-                    self.slot_of[qg], self.slot_of[ql] = victim, slot
-                # 2) minor-safe local passes park the targets in the slab
-                phys = [self.slot_of[q] - k for q in qubits]
-
-                def emit(op, newpos):
-                    plan.append(op)
-                    self.slot_of = [k + newpos(s - k) if s >= k else s
-                                    for s in self.slot_of]
-
-                fast_sv.plan_slab_residency(L, S, self.SCATTER_MOVE_MAX,
-                                            phys, emit)
-                # 3) slab matmul; window expanded to 2^S on the host
-                positions = [self.slot_of[q] - k - (L - S) for q in qubits]
-                w = dvfusion._np_expand(np.asarray(u, np.complex128), S,
-                                        positions)
-                plan.append(("matmul",))
-                mats.append(w)
-            d = 1 << S
-            packed = (np.stack(mats) if mats
-                      else np.zeros((0, d, d), np.complex128))
-            prog = self._fused_slab_program(tuple(plan), packed.tobytes(),
-                                            len(mats), S)
-            self.state = prog(self.state)
-        except BaseException:
-            self.slot_of = saved
-            raise
+        slot_of = list(self.slot_of)
+        for u, qubits in windows:
+            slot_of = self._plan_window_residency(slot_of, qubits, S, plan)
+            # slab matmul; window expanded to 2^S on the host
+            positions = [slot_of[q] - k - (L - S) for q in qubits]
+            w = dvfusion._np_expand(np.asarray(u, np.complex128), S,
+                                    positions)
+            plan.append(("matmul",))
+            mats.append(w)
+        d = 1 << S
+        packed = (np.stack(mats) if mats
+                  else np.zeros((0, d, d), np.complex128))
+        prog = self._fused_slab_program(tuple(plan), packed.tobytes(),
+                                        len(mats), S)
+        self.state = prog(self.state)
+        self.slot_of = slot_of
         return self
 
     def _fused_slab_program(self, plan: tuple, mats_bytes: bytes,

@@ -270,3 +270,88 @@ def test_plan_slab_residency_properties():
         if minor_safe_regime:
             assert all(op[0] in ("move", "swap") for op in ops), ops
             assert len(ops) <= 4
+
+
+def _rand_u(rng, k):
+    d = 1 << k
+    a = rng.normal(size=(d, d)) + 1j * rng.normal(size=(d, d))
+    q, _ = np.linalg.qr(a)
+    return q.astype(np.complex64)
+
+
+def test_order_windows_groups_commuting_supports():
+    """Alternating disjoint-support windows reorder into contiguous groups
+    and merge, cutting layout passes; the state is unchanged (exact)."""
+    rng = np.random.default_rng(17)
+    NN = 15  # S=4: slab axes 11..14
+    A, B = (11, 12, 13), (0, 1, 2)
+    gates = []
+    for _ in range(3):  # A B A B A B
+        gates.append((_rand_u(rng, 3), A))
+        gates.append((_rand_u(rng, 3), B))
+
+    def engine(plan):
+        sv = FastStatevector(NN, fusion_mode="slab")
+        sv.slab_bits = 4
+        sv.scatter_move_max = 0
+        sv.plan_windows = plan
+        return sv
+
+    sv_plain = engine(False).run(gates)
+    sv_plan = engine(True).run(gates)
+    # planner: A-windows run first (slab-resident, 0 passes) and merge,
+    # then ONE import of B — strictly fewer passes than the alternation
+    assert sv_plan.layout_passes < sv_plain.layout_passes
+    assert sv_plan.layout_passes <= 2
+    psi = jnp.zeros((1 << NN,), dtype=complex).at[0].set(1.0)
+    for m, t in gates:
+        psi = qop.apply_unitary(psi, jnp.asarray(m), t)
+    p = np.abs(np.asarray(psi)) ** 2
+    np.testing.assert_allclose(np.asarray(sv_plain.probs()), p, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(sv_plan.probs()), p, atol=2e-6)
+
+
+def test_order_windows_respects_dependencies():
+    """Windows with overlapping supports never reorder: a random circuit
+    with heavy support overlap gives identical states with/without the
+    planner, per-step AND compiled."""
+    rng = np.random.default_rng(23)
+    NN = 14
+    gates = []
+    for _ in range(12):
+        k = int(rng.integers(1, 4))
+        tgts = tuple(int(x) for x in rng.choice(NN, size=k, replace=False))
+        gates.append((_rand_u(rng, k), tgts))
+    psi = jnp.zeros((1 << NN,), dtype=complex).at[0].set(1.0)
+    for m, t in gates:
+        psi = qop.apply_unitary(psi, jnp.asarray(m), t)
+    p = np.abs(np.asarray(psi)) ** 2
+    for compiled in (False, True):
+        sv = FastStatevector(NN, fusion_mode="slab")
+        sv.slab_bits = 4
+        sv.scatter_move_max = 0
+        assert sv.plan_windows  # default on
+        (sv.run_compiled if compiled else sv.run)(gates)
+        np.testing.assert_allclose(np.asarray(sv.probs()), p, atol=2e-5)
+
+
+def test_merge_adjacent_windows_exact():
+    from quantum_computations_tpu.dv import fusion
+
+    rng = np.random.default_rng(29)
+    windows = [(_rand_u(rng, 2), (1, 3)), (_rand_u(rng, 2), (1, 2)),
+               (_rand_u(rng, 1), (5,))]
+    merged = fusion.merge_adjacent_windows(windows, max_bits=4)
+    # first two merge over support (1,2,3); the third joins too (union 4)
+    assert len(merged) == 1 and merged[0][1] == (1, 2, 3, 5)
+    NN = 6
+    psi0 = jnp.asarray((rng.normal(size=1 << NN)
+                        + 1j * rng.normal(size=1 << NN)))
+    psi0 = psi0 / jnp.linalg.norm(psi0)
+    a = psi0
+    for m, t in windows:
+        a = qop.apply_unitary(a, jnp.asarray(m), t)
+    b = psi0
+    for m, t in merged:
+        b = qop.apply_unitary(b, jnp.asarray(m), t)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

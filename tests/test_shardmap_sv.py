@@ -304,3 +304,29 @@ def test_run_fused_slab_oversize_gate_raises():
     sv = ShardMapStateVector(N)  # L=5
     with pytest.raises(ValueError):
         sv.run_fused_slab([(rand_u(2**6), tuple(range(6)))])
+
+
+def test_run_fused_slab_planner_reduces_collectives():
+    """The window scheduler groups commuting windows: an alternating
+    global-qubit / local-qubit window sequence costs fewer a2a collective
+    swaps with the planner than in strict circuit order, and the states
+    agree with dense (exact reorder)."""
+    N = 10
+    A, B = (0, 1), (8, 9)  # A: device-bit qubits (need a2a); B: local
+    circuit = []
+    for i in range(3):  # A B A B A B, distinct matrices
+        circuit.append((rand_u(4), A))
+        circuit.append((rand_u(4), B))
+
+    def count_a2a(planned):
+        sv = ShardMapStateVector(N)
+        sv.run_fused_slab(circuit, max_bits=2, plan_windows=planned)
+        plan = list(sv._fused_cache)[0][0]
+        return sum(1 for op in plan if op[0] == "a2a"), sv
+
+    n_plain, sv_plain = count_a2a(False)
+    n_plan, sv_plan = count_a2a(True)
+    assert n_plan <= n_plain
+    want = dense_run(N, circuit)
+    np.testing.assert_allclose(sv_plain.to_dense(), want, atol=1e-6)
+    np.testing.assert_allclose(sv_plan.to_dense(), want, atol=1e-6)
