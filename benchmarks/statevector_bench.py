@@ -359,17 +359,21 @@ def _run_slab_engine(jax, jnp, qop, achieved_gbps):
         sv.run_compiled(gates)   # whole chain = ONE dispatch (tunnel RTT
     _ = sv.norm_sq()             # is ~45 ms/step — 18x the kernel time)
     compile_s = time.perf_counter() - t0
+    passes_before = sv.layout_passes
     t0 = time.perf_counter()
     for _r in range(REPS):
         sv.run_compiled(gates)
     out = sv.norm_sq()
     chain_dt = (time.perf_counter() - t0) / REPS
     assert abs(out - 1.0) < 1e-3, out
+    passes_per_chain = (sv.layout_passes - passes_before) / REPS
 
     floor_pass = 2 * 2 * 4 * 2**N / (achieved_gbps * 1e9)
     print(json.dumps({
         "metric": "dv_slab_engine_chain", "qubits": N,
         "chain_len": k, "n_windows": 2,
+        "plan_windows": sv.plan_windows,
+        "layout_passes_per_chain": round(passes_per_chain, 2),
         "total_ms": round(chain_dt * 1e3, 3),
         "value_ms_per_gate": round(chain_dt / k * 1e3, 4),
         "achieved_floor_pass_ms": round(floor_pass * 1e3, 3),
