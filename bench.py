@@ -284,21 +284,58 @@ def _production_baseline_sec_per_traj(mode: str) -> float | None:
     return None
 
 
+def _toy_metric() -> dict | None:
+    """The round-1/2 toy micro-bench (chi=8, grid 512, fixed 6-gate circuit),
+    kept alongside the production headline so the cross-round bench series
+    stays comparable after the round-3 metric rename. The CPU baseline for
+    the toy shape is re-measured in a subprocess (minutes, not hours)."""
+    global GRID, CHI, BATCH, REPS
+    saved = GRID, CHI, BATCH, REPS
+    saved_mode = os.environ.get("QCT_BENCH_MODE")
+    GRID, CHI, BATCH, REPS = 512, 8, 8, 3
+    # the baseline subprocess re-imports bench and must see toy defaults
+    os.environ["QCT_BENCH_MODE"] = "toy"
+    try:
+        traj_per_sec = run_tpu()
+        sec_per_traj = run_baseline_subprocess()
+        return {
+            "metric": "gkp_rb_trajectories_per_sec",
+            "value": round(traj_per_sec, 4),
+            "unit": "traj/s/chip",
+            "vs_baseline": (round(traj_per_sec * sec_per_traj, 4)
+                            if sec_per_traj else 1.0),
+        }
+    except Exception as exc:  # the toy companion must not kill the headline
+        print(f"# toy companion metric failed: {exc!r}", file=sys.stderr)
+        return None
+    finally:
+        GRID, CHI, BATCH, REPS = saved
+        if saved_mode is None:
+            os.environ.pop("QCT_BENCH_MODE", None)
+        else:
+            os.environ["QCT_BENCH_MODE"] = saved_mode
+
+
 def main():
     baseline_mode = os.environ.get(
         "QCT_BENCH_BASELINE", "committed" if _PROD else "subprocess")
+    toy = None
     if _PROD:
         traj_per_sec = run_tpu_production()
         sec_per_traj = (None if baseline_mode == "skip"
                         else _production_baseline_sec_per_traj(baseline_mode))
         metric = "gkp_rb_production_trajectories_per_sec"
+        if os.environ.get("QCT_BENCH_TOY", "1") != "0":
+            toy = _toy_metric()
+            if toy:
+                print(json.dumps(toy))  # companion line; headline line is last
     else:
         traj_per_sec = run_tpu()
         sec_per_traj = (None if baseline_mode == "skip"
                         else run_baseline_subprocess())
         metric = "gkp_rb_trajectories_per_sec"
     vs_baseline = round(traj_per_sec * sec_per_traj, 4) if sec_per_traj else 1.0
-    print(json.dumps({
+    line = {
         "metric": metric,
         "value": round(traj_per_sec, 4),
         "unit": "traj/s/chip",
@@ -309,10 +346,13 @@ def main():
             "fused_pair": os.environ.get("QCT_FUSED_PAIR", "1"),
             "stream_eigh": os.environ.get("QCT_STREAM_EIGH", "host"),
             "bs_decomp": os.environ.get("QCT_BS_DECOMP", "cz"),
-            "power_iters": os.environ.get("QCT_STREAM_POWER_ITERS", ""),
+            "power_iters": os.environ.get("QCT_STREAM_POWER_ITERS", "2"),
             **_CONFIG_USED,
         },
-    }))
+    }
+    if toy:
+        line["toy"] = {k: toy[k] for k in ("value", "vs_baseline")}
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

@@ -309,6 +309,12 @@ def _residency_cost(N: int, S: int, scatter_move_max: int,
     return passes, lay
 
 
+# Window count above which greedy scheduling falls back to circuit order
+# (the O(n^2) host-side planning would dominate for very long unfused
+# chains; ~500 windows keeps planning well under a second).
+_PLAN_MAX_WINDOWS = 512
+
+
 def order_windows_by_cost(windows, state, cost_fn):
     """Commutation-exact greedy scheduling of fused windows.
 
@@ -325,9 +331,14 @@ def order_windows_by_cost(windows, state, cost_fn):
     The reference applies every gate as its own dense O(4^N) operator in
     strict circuit order (``simulators/dv_simulator/gates.py:44-54``); it
     has no scheduling layer at all.
+
+    Scheduling is O(n^2) in the window count (DAG edges + one residency
+    simulation per (step, ready window)); above ``_PLAN_MAX_WINDOWS`` the
+    host time would rival the device time saved, so the planner falls back
+    to circuit order.
     """
     n = len(windows)
-    if n <= 1:
+    if n <= 1 or n > _PLAN_MAX_WINDOWS:
         return list(windows)
     supports = [set(t) for _, t in windows]
     preds_left = [0] * n
@@ -651,6 +662,7 @@ class FastStatevector:
         plan: list[tuple] = []
         mats: list[jax.Array] = []
         re, im, saved_layout = self.re, self.im, list(self.axis_of)
+        saved_passes = self.layout_passes
         self.re = self.im = None  # force planning-only: steps must not run
 
         def record(kind, *args):
@@ -673,8 +685,11 @@ class FastStatevector:
                                   N, S, self.use_pallas, self.interpret)
             self.re, self.im = prog(re, im)
         except BaseException:
-            # roll back: the planes never moved, so the table must not either
+            # roll back: the planes never moved, so the table (and the
+            # pass counter incremented during plan-only tracing) must not
+            # move either
             self.re, self.im, self.axis_of = re, im, saved_layout
+            self.layout_passes = saved_passes
             raise
         finally:
             self._plan_only = None
@@ -710,6 +725,28 @@ class FastStatevector:
                              "rank-N transpose; N too large")
         perm = self._logical_perm()
         return jnp.transpose(p.reshape((2,) * self.N), perm).reshape(-1)
+
+    def probabilities(self, qubit: int) -> jax.Array:
+        """Marginal (p0, p1) of one LOGICAL qubit — any N, any slab layout.
+
+        Layout-aware single reduction: the qubit's physical axis position
+        is resolved through ``axis_of`` and the |amp|^2 sum folds over the
+        complementary axes, so no rank-N transpose is ever needed (unlike
+        :meth:`probs`, which refuses permuted layouts at N>22). Mirrors the
+        sharded engine's API (``parallel/shardmap_sv.py probabilities``).
+        """
+        if not 0 <= qubit < self.N:
+            raise ValueError(f"qubit {qubit} out of range for N={self.N}")
+        pos = self.axis_of[qubit]
+        lead = 1 << pos                      # axes above the target bit
+        trail = 1 << (self.N - 1 - pos)      # axes below
+
+        @partial(jax.jit, static_argnums=(2, 3))
+        def f(re, im, lead, trail):
+            p = (re * re + im * im).reshape(lead, 2, trail)
+            return jnp.sum(p, axis=(0, 2))
+
+        return f(self.re, self.im, lead, trail)
 
     def sample(self, key, shots: int = 1) -> np.ndarray:
         """Terminal Born sampling of all qubits: (shots,) basis indices.

@@ -51,11 +51,16 @@ _BLOCK_ELEMENTS = 1 << 25
 import os as _os
 _BS_DECOMP = _os.environ.get("QCT_BS_DECOMP", "cz")
 
-# Optional override of the power-iteration count used by the streamed splits
-# (call sites default to the reference heuristic q = 7 or 4, mps.py:29; the
-# physical gate spectra decay fast enough that smaller q is often ample and
-# each saved iteration removes two full streaming sweeps).
+# Power-iteration count used by the streamed splits. Default q=2: the
+# physical gate spectra decay fast enough that two power rounds are ample
+# at production tolerances (rel_err=1e-2) and each saved iteration removes
+# two full streaming sweeps. Adjudicated on-chip (round 3 queue14):
+# q=2 = 0.268 traj/s vs heuristic 0.231 (+16%), RB anchor cell parity
+# z=-0.37 vs the reference's 1980-sample mean (benchmarks/rb_q2_anchor.dat).
+# QCT_STREAM_POWER_ITERS=<int> overrides; "ref" restores the reference
+# heuristic q = 7 or 4 (mps.py:29) that call sites pass in.
 _POWER_ITERS_ENV = _os.environ.get("QCT_STREAM_POWER_ITERS")
+_DEFAULT_POWER_ITERS = 2
 
 # Precision of the sketch (power-round) sweeps in the mixed-precision
 # iterate; the final factor-producing round always runs at config.PRECISION.
@@ -73,7 +78,16 @@ _EIGH_MODE = _os.environ.get("QCT_STREAM_EIGH", "host")
 
 
 def effective_power_iters(q: int) -> int:
-    return int(_POWER_ITERS_ENV) if _POWER_ITERS_ENV else q
+    """Resolve the streamed-split power-iteration count.
+
+    ``q`` is the reference heuristic the call site computed (7 or 4,
+    reference mps.py:29); the default returns ``_DEFAULT_POWER_ITERS``
+    unless QCT_STREAM_POWER_ITERS pins an integer or "ref"."""
+    if _POWER_ITERS_ENV:
+        if _POWER_ITERS_ENV == "ref":
+            return q
+        return int(_POWER_ITERS_ENV)
+    return _DEFAULT_POWER_ITERS
 
 
 def _divisors_desc(n: int):

@@ -63,6 +63,9 @@ class ShardMapStateVector:
         self.L = N - self.k
         self.axis = self.mesh.axis_names[0]
         self.slot_of = list(range(N))  # identity layout initially
+        # read once at construction, same point as FastStatevector
+        # (dv/fast_sv.py __init__) so the toggle semantics match
+        self.plan_windows = os.environ.get("QCT_SV_PLAN", "1") != "0"
         self._sharding = NamedSharding(self.mesh, P(self.axis))
 
         @partial(jax.jit, out_shardings=self._sharding)
@@ -299,7 +302,7 @@ class ShardMapStateVector:
             raise ValueError(f"gate support exceeds the {S}-bit slab")
         windows = dvfusion.fuse_windows(normalized, max_bits=S)
         if plan_windows is None:
-            plan_windows = os.environ.get("QCT_SV_PLAN", "1") != "0"
+            plan_windows = self.plan_windows
         if plan_windows:
             # commutation-exact scheduling: minimise collective swaps
             # (weighted A2A_PASS_COST) + local layout passes, then merge
@@ -336,15 +339,27 @@ class ShardMapStateVector:
         self.slot_of = slot_of
         return self
 
+    _FUSED_CACHE_MAX = 32
+
     def _fused_slab_program(self, plan: tuple, mats_bytes: bytes,
                             n_mats: int, S: int):
-        """Build (and cache per instance) the single-dispatch program."""
+        """Build (and cache per instance, LRU-bounded) the single-dispatch
+        program.
+
+        The plan depends on the starting layout, so re-running the same
+        circuit is single-dispatch-cached only once the layout reaches a
+        fixed point; until then each call traces a fresh program. The LRU
+        bound keeps a pathological never-converging layout from growing the
+        cache without limit."""
         cache = getattr(self, "_fused_cache", None)
         if cache is None:
             cache = self._fused_cache = {}
         key = (plan, mats_bytes, S)
         if key in cache:
+            cache[key] = cache.pop(key)  # refresh LRU position
             return cache[key]
+        while len(cache) >= self._FUSED_CACHE_MAX:
+            cache.pop(next(iter(cache)))
         from ..dv import fast_sv
 
         d = 1 << S

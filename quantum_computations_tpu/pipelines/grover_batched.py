@@ -74,10 +74,11 @@ def main(config: GroverBatchedConfig | None = None):
                     "aborting instead of resampling forever")
             n = min(config.batch, config.trajectories - kept)
             t0 = timer()
+            batch_seed = config.rng_seed + 1000 * i + attempted
             tensors, frames = runner.run_circuit(
-                gkp_circuit, coeffs, n,
-                rng_seed=config.rng_seed + 1000 * i + attempted)
+                gkp_circuit, coeffs, n, rng_seed=batch_seed)
             rho_re, rho_im = (np.asarray(x) for x in runner.readout(tensors, frames))
+            batch_secs = timer() - t0
             attempted += n
             for t in range(n):
                 rho = rho_re[t] + 1j * rho_im[t]
@@ -90,6 +91,14 @@ def main(config: GroverBatchedConfig | None = None):
                     "epsilon": eps,
                     "rho_real": rho.real.tolist(),
                     "rho_imag": rho.imag.tolist(),
+                    # reference rows carry simulation_time + rng_state
+                    # (grover.py:132-137); trajectories here share a batched
+                    # device launch, so the per-row time is the batch wall
+                    # time amortised over its trajectories, and the PRNG
+                    # provenance is (batch seed, lane) under our explicit
+                    # jax.random key discipline (PARITY.md).
+                    "simulation_time": round(batch_secs / n, 3),
+                    "rng_seed": int(batch_seed), "rng_lane": int(t),
                 })
             logger.info("db=%.2f: %d/%d trajectories (%.0fs/batch)", db, kept,
                         config.trajectories, timer() - t0)
@@ -107,7 +116,7 @@ def main(config: GroverBatchedConfig | None = None):
                 "fused_single": runner.fused_single,
                 "fused_pair": runner.fused_pair,
                 "stream_eigh": os.environ.get("QCT_STREAM_EIGH", "host"),
-                "power_iters": os.environ.get("QCT_STREAM_POWER_ITERS", ""),
+                "power_iters": os.environ.get("QCT_STREAM_POWER_ITERS", "2"),
             },
         })
         if config.data_file:

@@ -355,3 +355,40 @@ def test_merge_adjacent_windows_exact():
     for m, t in merged:
         b = qop.apply_unitary(b, jnp.asarray(m), t)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_probabilities_single_qubit_any_layout():
+    """Layout-aware per-qubit marginals agree with probs() on a permuted
+    slab layout (small N), and close the probs()-refusal gap at N=24."""
+    gates = _circuit()
+    sv = FastStatevector(N, fusion_mode="slab")
+    sv.run(gates)
+    assert not sv._layout_is_identity()
+    full = np.asarray(sv.probs()).reshape((2,) * N)
+    for q in range(N):
+        marg = full.sum(axis=tuple(i for i in range(N) if i != q))
+        got = np.asarray(sv.probabilities(q))
+        np.testing.assert_allclose(got, marg, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_probabilities_n24_permuted_layout():
+    """N=24 (probs() would refuse the permuted layout): one-reduction
+    marginals still work. X(0) then H(23): qubit 0 is deterministically 1,
+    qubit 23 uniform, everything else 0."""
+    NN = 24
+    sv = FastStatevector(NN, fusion_mode="slab")
+    sv.run([dvg.X(0), dvg.H(NN - 1), dvg.CX(0, 1)])
+    if sv._layout_is_identity():  # the slab planner should have moved bit 0
+        sv._ensure_slab_resident((0,))
+    assert not sv._layout_is_identity()
+    with pytest.raises(ValueError):
+        sv.probs()
+    np.testing.assert_allclose(np.asarray(sv.probabilities(0)), [0, 1],
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sv.probabilities(1)), [0, 1],
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sv.probabilities(NN - 1)),
+                               [0.5, 0.5], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sv.probabilities(2)), [1, 0],
+                               atol=1e-6)
