@@ -86,6 +86,20 @@ def main():
                 "z": round(z, 2),
             })
         entry = {"oracle": ref_name, "cells": cells}
+        # success-vs-dB curve (reference plot_data.ipynb cell 11-12): our
+        # per-dB means/2SE next to the reference's at the same dB and the
+        # analytic Walshe-style estimate curve
+        from quantum_computations_tpu.pipelines.analysis import (
+            grover_error_estimate, grover_success_curve)
+
+        ours_curve = grover_success_curve(rows, list(tagged))
+        ref_curve = grover_success_curve(
+            json.load(open(os.path.join(REF_DIR, ref_name))), list(tagged))
+        entry["curve"] = {
+            str(db): {**pt,
+                      "ref": ref_curve.get(db),
+                      "estimate": round(grover_error_estimate(db), 4)}
+            for db, pt in ours_curve.items()}
         if meta:
             entry["drop_rate"] = max(m.get("drop_rate", 0.0) for m in meta)
             entry["sec_per_traj"] = [m.get("sec_per_traj") for m in meta]

@@ -82,6 +82,49 @@ def grover_success_by_db(data: list[dict], tagged: list[int]) -> dict[float, flo
     return {db: float(np.mean(v)) for db, v in sorted(by_db.items())}
 
 
+def grover_success_curve(data: list[dict], tagged: list[int]) -> dict:
+    """Success-vs-dB curve exactly as reference plot_data.ipynb cell 11-12:
+    per-dB mean with a 2*SE errorbar (the notebook's ``errs``), keyed by dB
+    rounded to the reference sweep grid (3 decimals)."""
+    from ..gkp import eps2db
+
+    by_db = defaultdict(list)
+    for entry in data:
+        db = round(float(eps2db(entry["epsilon"])), 3)
+        by_db[db].append(grover_success(entry, tagged))
+    return {db: {"mean": float(np.mean(v)),
+                 "err_2se": float(2 * np.std(v) / np.sqrt(len(v))),
+                 "n": len(v)}
+            for db, v in sorted(by_db.items())}
+
+
+def analytical_gate_error(db: float, integer: int) -> float:
+    """Per-quadrature MB gate-error estimate (Walshe et al. 2022), as in
+    reference plot_data.ipynb cell 2: input quadrature variance
+    ``integer * eps / 2`` -> erf success rate per quadrature."""
+    from scipy.special import erf
+
+    from ..gkp import db2eps
+
+    var = integer * float(db2eps(db)) / 2
+    return float(1 - erf(np.sqrt(np.pi / (8 * var))))
+
+
+def grover_error_estimate(db: float, *, n_qubits: int = 3, k_solutions: int = 2,
+                          depth: int = 18) -> float:
+    """Analytic Grover success estimate drawn on the reference's combined
+    plot (plot_data.ipynb cell 2 ``grover_with_error_estimate``): average
+    the I- and P-gadget error rates, compound over depth*N gates, and mix
+    the failed fraction uniformly over the 2^N outcomes."""
+    e2 = analytical_gate_error(db, 2)
+    e3 = analytical_gate_error(db, 3)
+    err_i = 1 - (1 - e2) * (1 - e2)
+    err_p = 1 - (1 - e2) * (1 - e3)
+    r = (err_i + err_p) / 2
+    p_no_err = (1 - 4 / 3 * r) ** (depth * n_qubits)
+    return float(p_no_err + k_solutions / 2 ** n_qubits * (1 - p_no_err))
+
+
 # -- Clifford-encoding fidelity ----------------------------------------------
 
 def clifford_summary(data: list[dict]) -> dict:

@@ -50,3 +50,23 @@ def test_clifford_dataset_invariant():
     summary = analysis.clifford_summary(data)
     for db, s in summary.items():
         assert abs(s["mean_over_paulis"] - 0.25) < 0.002, (db, s)
+
+
+def test_grover_success_curve_and_estimate():
+    """Curve points (reference plot_data.ipynb cell 11) on the committed
+    {2,7} dataset, and the analytic Walshe-style estimate's limits."""
+    data = analysis.load_dat(os.path.join(REF, "gkp_grover_27.dat"))
+    curve = analysis.grover_success_curve(data, [2, 7])
+    key = min(curve, key=lambda d: abs(d - 11.667))
+    pt = curve[key]
+    assert abs(pt["mean"] - 0.855) < 0.02
+    assert pt["n"] == 40 and 0 < pt["err_2se"] < 0.2
+    # analytic estimate: ~uniform 2/8 at low squeezing, -> 1 at high
+    assert abs(analysis.grover_error_estimate(5.0) - 0.25) < 0.01
+    assert analysis.grover_error_estimate(20.0) > 0.99
+    # monotone through the transition region
+    vals = [analysis.grover_error_estimate(db) for db in (8, 10, 12, 14)]
+    assert all(a < b for a, b in zip(vals, vals[1:])), vals
+    # notebook cell-2 numeric spot check: gate error at 10 dB
+    e = analysis.analytical_gate_error(10.0, 2)
+    assert 0 < e < 0.1
