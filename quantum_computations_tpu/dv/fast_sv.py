@@ -42,6 +42,7 @@ Gate scheduling (``fusion_mode``):
 from __future__ import annotations
 
 import functools
+import math
 import os
 from dataclasses import dataclass, field
 from functools import partial
@@ -110,8 +111,87 @@ def _block_swap_step(re, im, num_qubits: int, slab_bits: int):
             _block_swap_raw(im, num_qubits, slab_bits))
 
 
+# Above this plane size (bytes of one f32 plane) the grouped single-transpose
+# form of an upper move is decomposed into per-run middle swaps: XLA lowers
+# the many-axis transpose as TWO full-plane copies (measured in the N=30 OOM
+# dump — 4G temp + 4G copy + 4G input + the other 4G plane = 20G on a 16G
+# chip), while a 4-axis (P, X, Y, Q) middle swap needs only in + out.
+# QCT_SV_MOVE_DECOMP=1/0 forces the choice.
+_MOVE_DECOMP_BYTES = 2 << 30
+
+
+def _move_decomposition(axes: tuple, num_qubits: int, slab_bits: int,
+                        to_front: bool) -> list[tuple[int, int, int, int]]:
+    """Decompose an upper move into single middle-swap passes.
+
+    Returns [(p, x, y, q), ...]: each pass is
+    ``v.reshape(p, x, y, q).swapaxes(1, 2)`` — a 4-axis transpose whose
+    minor dim is untouched (>= the 2^S slab), which XLA lowers as ONE copy
+    pass. One pass per contiguous run of target axes:
+
+    - to_back (``to_front=False``): runs processed right-to-left, each run G
+      swaps past everything right of it (B) and merges into the minor block
+      Q (initially the slab); final upper order = others + targets(sorted),
+      exactly :func:`_upper_move_raw`'s permutation.
+    - to_front: runs processed left-to-right, each run G swaps past the
+      non-target block A to its left and merges into the leading block P;
+      final order = targets(sorted) + others.
+    """
+    Nu = num_qubits - slab_bits
+    shape, taxes = fusion._grouped_view(Nu, axes)
+    sizes = list(shape)
+    is_tgt = [i in taxes for i in range(len(sizes))]
+    # contiguous runs of target axes in the grouped view
+    runs: list[tuple[int, int]] = []  # [start, end) index ranges
+    i = 0
+    while i < len(sizes):
+        if is_tgt[i]:
+            j = i
+            while j < len(sizes) and is_tgt[j]:
+                j += 1
+            runs.append((i, j))
+            i = j
+        else:
+            i += 1
+    passes: list[tuple[int, int, int, int]] = []
+    if not to_front:
+        Q = 1 << slab_bits
+        rem = list(sizes)
+        rem_tgt = list(is_tgt)
+        for (i0, j0) in reversed(runs):
+            G = math.prod(rem[i0:j0])
+            B = math.prod(rem[j0:])
+            P = math.prod(rem[:i0])
+            if B > 1:
+                passes.append((P, G, B, Q))
+            Q *= G
+            del rem[i0:j0], rem_tgt[i0:j0]
+    else:
+        # left-to-right: each run G hops over the (contiguous, growing)
+        # non-target block A to land right after the already-moved runs F
+        F = 1  # product of runs already moved to the front
+        A = 1  # product of non-target sizes swept past so far
+        idx = 0
+        for (i0, j0) in runs:
+            A *= math.prod(sizes[idx:i0])
+            G = math.prod(sizes[i0:j0])
+            Q = math.prod(sizes[j0:]) * (1 << slab_bits)
+            if A > 1:
+                passes.append((F, A, G, Q))
+            F *= G
+            idx = j0
+    return passes
+
+
 def _upper_move_raw(x, axes: tuple, num_qubits: int, slab_bits: int,
                     to_front: bool):
+    decomp = os.environ.get("QCT_SV_MOVE_DECOMP", "auto")
+    if decomp == "1" or (decomp != "0"
+                         and (x.size * 4 >= _MOVE_DECOMP_BYTES)):
+        for (p, xs, ys, q) in _move_decomposition(axes, num_qubits,
+                                                  slab_bits, to_front):
+            x = x.reshape(p, xs, ys, q).swapaxes(1, 2).reshape(-1)
+        return x
     Nu = num_qubits - slab_bits
     shape, taxes = fusion._grouped_view(Nu, axes)
     shape = shape + (1 << slab_bits,)

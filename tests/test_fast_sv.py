@@ -392,3 +392,61 @@ def test_probabilities_n24_permuted_layout():
                                [0.5, 0.5], atol=1e-6)
     np.testing.assert_allclose(np.asarray(sv.probabilities(2)), [1, 0],
                                atol=1e-6)
+
+
+def test_order_windows_fallback_above_cap(monkeypatch):
+    """Above _PLAN_MAX_WINDOWS the scheduler returns circuit order
+    untouched (the O(n^2) planning would dominate host time)."""
+    from quantum_computations_tpu.dv import fast_sv
+
+    monkeypatch.setattr(fast_sv, "_PLAN_MAX_WINDOWS", 4)
+    wins = [(np.eye(2), (i % 6,)) for i in range(6)]
+    called = []
+
+    def cost_fn(state, tgts):
+        called.append(tgts)
+        return 0, state
+
+    out = fast_sv.order_windows_by_cost(wins, [0], cost_fn)
+    assert out == wins and not called
+
+
+def test_move_decomposition_matches_single_transpose(monkeypatch):
+    """The per-run middle-swap decomposition of an upper move (the N>=29
+    OOM-safe form) produces bit-identical layouts to the grouped single
+    transpose, for scattered/adjacent/front/back target sets."""
+    from quantum_computations_tpu.dv import fast_sv
+
+    NN, S = 12, 5
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=1 << NN).astype(np.float32)
+    cases = [
+        (0,), (6,), (0, 1), (2, 5), (0, 3, 6), (1, 2, 5, 6), (4, 5, 6),
+        (0, 2, 4, 6), (0, 1, 2), (3,), (0, 6), (1, 4),
+    ]
+    for axes in cases:
+        for to_front in (False, True):
+            monkeypatch.setenv("QCT_SV_MOVE_DECOMP", "0")
+            want = np.asarray(fast_sv._upper_move_raw(
+                jnp.asarray(x), axes, NN, S, to_front))
+            monkeypatch.setenv("QCT_SV_MOVE_DECOMP", "1")
+            got = np.asarray(fast_sv._upper_move_raw(
+                jnp.asarray(x), axes, NN, S, to_front))
+            np.testing.assert_array_equal(got, want,
+                                          err_msg=f"{axes} front={to_front}")
+
+
+def test_slab_engine_with_forced_move_decomposition(monkeypatch):
+    """End-to-end slab engine correctness with the decomposed moves on."""
+    monkeypatch.setenv("QCT_SV_MOVE_DECOMP", "1")
+    gates = _circuit()
+    want = _reference_state(gates, N)
+    sv = FastStatevector(N, fusion_mode="slab")
+    sv.run(gates)
+    assert not sv._layout_is_identity()
+    np.testing.assert_allclose(np.asarray(sv.probs()), np.abs(want) ** 2,
+                               atol=2e-6)
+    sv2 = FastStatevector(N, fusion_mode="slab")
+    sv2.run_compiled(gates)
+    np.testing.assert_allclose(np.asarray(sv2.probs()), np.abs(want) ** 2,
+                               atol=2e-6)

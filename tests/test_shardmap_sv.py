@@ -330,3 +330,19 @@ def test_run_fused_slab_planner_reduces_collectives():
     want = dense_run(N, circuit)
     np.testing.assert_allclose(sv_plain.to_dense(), want, atol=1e-6)
     np.testing.assert_allclose(sv_plan.to_dense(), want, atol=1e-6)
+
+
+def test_fused_cache_lru_bounded():
+    """The per-instance fused-program cache evicts oldest entries instead
+    of growing without bound when the layout never reaches a fixed point."""
+    N = 8
+    sv = ShardMapStateVector(N)
+    sv._FUSED_CACHE_MAX = 3
+    # distinct single-qubit windows -> distinct (plan, mats) keys
+    for q in range(6):
+        sv.run_fused_slab([(rand_u(2), (q,))])
+    assert len(sv._fused_cache) <= 3
+    # re-running the most recent circuit hits the cache (no growth)
+    n = len(sv._fused_cache)
+    sv.run_fused_slab([(rand_u(2), (5,))])  # new mats -> new key, evicts
+    assert len(sv._fused_cache) <= 3 and len(sv._fused_cache) >= min(n, 3)
