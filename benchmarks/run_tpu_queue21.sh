@@ -74,6 +74,15 @@ rb_cell() { # rb_cell <db> <depth> <seed> <samples>
 for pass in 1 2; do
     echo "=== queue21 pass $pass starting at $(date -u +%H:%M:%S)"
 
+    # 0. batch-size lever on the headline bench: the streamed splits are
+    #    batched on-device, but each op pays a constant host-driving cost —
+    #    a larger batch amortises it. 32 may OOM (live set ~2x); 24 is the
+    #    fallback. Either result adjudicates the knob.
+    step bench-batch24 5400 env QCT_BENCH_BATCH=24 QCT_BENCH_REPS=3 \
+        QCT_BENCH_TOY=0 python bench.py
+    step bench-batch32 5400 env QCT_BENCH_BATCH=32 QCT_BENCH_REPS=3 \
+        QCT_BENCH_TOY=0 python bench.py
+
     # 1. Grover success curves, per-point (VERDICT missing #3)
     for db in 6.667 8.333 10.0 11.667 13.333; do
         grover_point 2,7 "$db" 20 "92$(printf '%.0f' "${db/./}")"
@@ -122,6 +131,18 @@ for pass in 1 2; do
         QCT_SV_PATHS=calib,slabengine python $B/statevector_bench.py
     step sv28-noplan-r2 3600 env QCT_SV_QUBITS=28 QCT_SV_REPS=5 QCT_SV_PLAN=0 \
         QCT_SV_PATHS=calib,slabengine python $B/statevector_bench.py
+
+    # 9. every remaining reference cell through 12.5 dB
+    #    (gkp_rb.dat also has d12 at 5.833/6.667/7.5, d18 at 5.833,
+    #     d30 at 9.167/10.0/10.833, d60 at 10.833)
+    rb_cell 5.833  12 51208 100
+    rb_cell 6.667  12 61208 100
+    rb_cell 7.5    12 71208 100
+    rb_cell 5.833  18 51808 100
+    rb_cell 9.167  30 91630 80
+    rb_cell 10.0   30 10030 80
+    rb_cell 10.833 30 10833 80
+    rb_cell 10.833 60 10860 64
 done
 
 echo "=== queue21 finished at $(date -u +%H:%M:%S)"
