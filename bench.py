@@ -347,6 +347,7 @@ def main():
             "stream_eigh": os.environ.get("QCT_STREAM_EIGH", "host"),
             "bs_decomp": os.environ.get("QCT_BS_DECOMP", "cz"),
             "power_iters": os.environ.get("QCT_STREAM_POWER_ITERS", "2"),
+            "rank_track": os.environ.get("QCT_RANK_TRACK", "1"),
             **_CONFIG_USED,
         },
     }

@@ -50,13 +50,18 @@ _FUSED_SINGLE_DEFAULT = os.environ.get("QCT_FUSED_SINGLE", "1") == "1"
 # by homodynes on both operands — fused_pair_measure2). QCT_FUSED_PAIR=0
 # restores the streamed-BS + homodyne op path.
 _FUSED_PAIR_DEFAULT = os.environ.get("QCT_FUSED_PAIR", "1") == "1"
+# Host-side incremental bond-rank tracking (kills the per-op full-chain
+# rank fetch — a device sync + whole-state HBM scan, ~7% of trajectory time
+# in the round-3 attribution). QCT_RANK_TRACK=0 restores full fetches.
+_RANK_TRACK_DEFAULT = os.environ.get("QCT_RANK_TRACK", "1") == "1"
 
 
 class BatchedGKP:
     def __init__(self, qs, ancilla_epsilon, svd_options: SVDOptions | dict | None = None,
                  *, adaptive: bool = False, granularity: str = "gadget",
                  fused_single: bool | None = None,
-                 fused_pair: bool | None = None):
+                 fused_pair: bool | None = None,
+                 track_ranks: bool | None = None):
         """adaptive=True enables rank-adaptive bond trimming: true bond ranks
         are measured on-device (integer fetch), the batch-maximum is bucketed,
         and tensors are sliced by cached executors. This restores dynamic-rank
@@ -86,7 +91,31 @@ class BatchedGKP:
                              else bool(fused_single))
         self.fused_pair = (_FUSED_PAIR_DEFAULT if fused_pair is None
                            else bool(fused_pair))
+        self.track_ranks = (_RANK_TRACK_DEFAULT if track_ranks is None
+                            else bool(track_ranks))
+        # Host-side measured bond ranks (bond j = right bond of tensor j),
+        # maintained incrementally by the op executors during run_circuit.
+        # Valid only on the production op path, where every rank-changing op
+        # is immediately followed by a targeted trim:
+        # - Bell splices insert structurally FULL bonds (identity-kron —
+        #   every column nonzero regardless of the chain data) and modify no
+        #   existing tensor, so no rank changes and no trim is needed;
+        # - the streamed BS split returns its new bond rank on the host
+        #   already (the other operand's bond is unitarily invariant, and
+        #   zero-masked columns propagate to exact zeros);
+        # - fused pair-measures piggyback the absorbed neighbour's bond rank
+        #   on the measurement fetch that already syncs;
+        # - fused single gadgets act on the physical axis only (bond axes
+        #   carried through einsums), so the zero-column mask — which is
+        #   what the rank fetch measures — is preserved exactly.
+        self._ranks: list[int] | None = None
         self._cache: dict = {}
+
+    @property
+    def _tracking_active(self) -> bool:
+        return (self.track_ranks and self.adaptive
+                and self.granularity == "op"
+                and self.fused_single and self.fused_pair)
 
     def _eps_arr(self, batch: int) -> np.ndarray:
         """Per-trajectory epsilon as a TRACED executor argument.
@@ -192,7 +221,23 @@ class BatchedGKP:
         with span("op:bell"):
             out = self._get(sig, body)(tuple(tensors), bell_phase,
                                        self._eps_arr(tensors[0].shape[0]), keys)
-        return self._maybe_trim(list(out))
+        out = list(out)
+        if self._ranks is not None:
+            # Splice tensors are identity-kron over the pass-through bond:
+            # every column of both new bonds is nonzero (the Bell coefficient
+            # is a unit phase), so the measured rank equals the capacity and
+            # a trim is provably a no-op. No existing tensor is modified.
+            if idx < len(tensors):  # front/middle insert
+                self._ranks[idx:idx] = [int(out[idx].shape[-1]),
+                                        int(out[idx + 1].shape[-1])]
+            else:
+                # append: the new bonds are (old-last <-> b_left), measured
+                # from the unchanged old last tensor (edge capacity 1), and
+                # (b_left <-> b_right)
+                self._ranks.extend([int(out[idx - 1].shape[-1]),
+                                    int(out[idx].shape[-1])])
+            return out
+        return self._maybe_trim(out)
 
     def _op_bs(self, tensors, i, j, keys):
         li, ri = (i, j) if i < j else (j, i)
@@ -217,6 +262,13 @@ class BatchedGKP:
                 )
             out = list(tensors)
             out[li], out[ri] = m1, m2
+            if self._ranks is not None:
+                # The split's kept rank arrives on the host with the factors
+                # (streamed_pair_svd_batched returns it); the right operand's
+                # own right bond is unitarily invariant under the pair gate
+                # and zero-masked columns map to exact zeros.
+                self._ranks[li] = max(1, int(np.max(_rank)))
+                return self._trim_with_ranks(out)
             return self._maybe_trim(out)
         sig = ("op_bs", i, j, self._shapes(tensors))
 
@@ -227,7 +279,11 @@ class BatchedGKP:
 
         with span("op:bs"):
             out = self._get(sig, body)(tuple(tensors), keys)
-        return self._maybe_trim(list(out))
+        out = list(out)
+        if self._ranks is not None:
+            self._ranks[li] = self._bond_rank_single(out, li)
+            return self._trim_with_ranks(out)
+        return self._maybe_trim(out)
 
     def _op_homodyne(self, tensors, idx, angles, keys, *, a_zero: bool):
         sig = ("op_hom", idx, a_zero, self._shapes(tensors))
@@ -272,19 +328,45 @@ class BatchedGKP:
 
     def _op_fused_pair(self, tensors, m, a1, a2, keys):
         """Fused BS(m, m+1) + homodynes on both pair modes (static angles)."""
-        sig = ("fused_pair", m, float(a1), float(a2), self._shapes(tensors))
+        shapes = self._shapes(tensors)
+        L0 = len(tensors)
+        # Absorb target (shape-static — mirrors fused_pair_measure2's
+        # smaller-intermediate rule): index in the NEW (pair-removed) list.
+        a_dim, c_dim = shapes[m][0], shapes[m + 1][-1]
+        has_left, has_right = m > 0, m + 2 < L0
+        p = m - 1 if (has_left and (a_dim >= c_dim or not has_right)) else m
+        # Only the absorbed tensor is modified, so only its right bond's
+        # measured rank can change; piggyback that rank on the measurement
+        # fetch (which syncs anyway) instead of a separate full-chain fetch.
+        want_rank = self._ranks is not None and p < L0 - 3
+        sig = ("fused_pair", m, float(a1), float(a2), shapes, want_rank)
 
         def body(tt, key):
             new_tensors, m1, m2 = fused_pair_measure2(
                 list(tt), m, self.qs, a1, a2, key)
-            return tuple(new_tensors), jnp.stack([m1, m2])
+            ms = jnp.stack([m1, m2])
+            if not want_rank:
+                return tuple(new_tensors), ms
+            t = new_tensors[p]
+            norms = jnp.sum(jnp.abs(t) ** 2, axis=(0, 1))
+            r = jnp.max(jnp.where(norms > 0, jnp.arange(t.shape[-1]) + 1, 0))
+            return tuple(new_tensors), ms, r
 
         fn = self._get(sig, body)
         with span("op:fused_pair"):
-            out_t, ms = fn(tuple(tensors), keys)
+            res = fn(tuple(tensors), keys)
         with span("op:fused_pair_fetch"):
-            ms = np.asarray(ms)
-        return self._maybe_trim(list(out_t)), ms[:, 0], ms[:, 1]
+            ms = np.asarray(res[1])
+        out_t = list(res[0])
+        if self._ranks is not None:
+            rank = [max(1, int(np.max(np.asarray(res[2]))))] if want_rank else []
+            nr = self._ranks
+            if p == m - 1:
+                self._ranks = nr[:m - 1] + rank + nr[m + 2:]
+            else:
+                self._ranks = nr[:m] + rank + nr[m + 3:]
+            return self._trim_with_ranks(out_t), ms[:, 0], ms[:, 1]
+        return self._maybe_trim(out_t), ms[:, 0], ms[:, 1]
 
     def _two_ops(self, tensors, idx, mb2type: MB2Type, keys):
         """Macronode gadget composed of op-level executors with trims.
@@ -373,15 +455,8 @@ class BatchedGKP:
             return 1 << (max(1, n) - 1).bit_length()
         return ((n + 15) // 16) * 16
 
-    def _trim_tensors(self, tensors):
-        """Slice all bonds down to bucketed batch-max true ranks."""
-        if len(tensors) < 2:
-            return tensors
-        ranks = self._bond_ranks(tensors)
-        caps = [int(t.shape[-1]) for t in tensors[:-1]]
-        new = [min(c, self._trim_bucket(max(1, int(r)))) for r, c in zip(ranks, caps)]
-        if all(n == c for n, c in zip(new, caps)):
-            return tensors
+    def _slice_bonds(self, tensors, new):
+        """Slice every bond to the sizes in ``new`` via a cached executor."""
         sig = ("trim", self._shapes(tensors), tuple(new))
 
         def body(*tensor_tuple):
@@ -398,6 +473,50 @@ class BatchedGKP:
             self._cache[sig] = fn
         with span("op:trim"):
             return list(fn(*tensors))
+
+    def _trim_tensors(self, tensors):
+        """Slice all bonds down to bucketed batch-max true ranks."""
+        if len(tensors) < 2:
+            return tensors
+        ranks = self._bond_ranks(tensors)
+        caps = [int(t.shape[-1]) for t in tensors[:-1]]
+        new = [min(c, self._trim_bucket(max(1, int(r)))) for r, c in zip(ranks, caps)]
+        if all(n == c for n, c in zip(new, caps)):
+            return tensors
+        return self._slice_bonds(tensors, new)
+
+    def _trim_with_ranks(self, tensors):
+        """Targeted trim from host-tracked measured bond ranks — no device
+        sync, no whole-state HBM scan (the tracked ranks reproduce exactly
+        what :meth:`_bond_ranks` would measure; see __init__)."""
+        if len(tensors) < 2:
+            return tensors
+        if len(self._ranks) != len(tensors) - 1:
+            raise RuntimeError(
+                f"rank tracker out of sync: {len(self._ranks)} tracked bonds "
+                f"for a {len(tensors)}-tensor chain")
+        caps = [int(t.shape[-1]) for t in tensors[:-1]]
+        new = [min(c, self._trim_bucket(max(1, int(r))))
+               for r, c in zip(self._ranks, caps)]
+        if all(n == c for n, c in zip(new, caps)):
+            return tensors
+        return self._slice_bonds(tensors, new)
+
+    def _bond_rank_single(self, tensors, j) -> int:
+        """Batch-max measured rank of bond ``j`` only (reads ONE tensor)."""
+        sig = ("rank1", tensors[j].shape[1:])
+
+        def body(t):
+            norms = jnp.sum(jnp.abs(t) ** 2, axis=(1, 2))  # (batch, r)
+            idx = jnp.arange(t.shape[-1])[None, :]
+            return jnp.max(jnp.where(norms > 0, idx + 1, 0))
+
+        fn = self._cache.get(sig)
+        if fn is None:
+            fn = jax.jit(body)
+            self._cache[sig] = fn
+        with span("op:rank1_fetch"):
+            return max(1, int(fn(tensors[j])))
 
     # ------------------------------------------------------------------
     def init_tensors(self, coeffs: np.ndarray, batch: int):
@@ -474,7 +593,15 @@ class BatchedGKP:
         tensors = self.init_tensors(np.asarray(coeffs, np.float32), batch)
         if data_sharding is not None:
             tensors = [jax.device_put(t, data_sharding) for t in tensors]
+        # product initial state: every bond has capacity (and rank) 1
+        self._ranks = [1] * (N - 1) if self._tracking_active else None
+        try:
+            return self._run_layers(circuit, tensors, batch, key)
+        finally:
+            self._ranks = None  # circuit-scoped; do not leak across calls
 
+    def _run_layers(self, circuit, tensors, batch, key):
+        N = circuit._N
         frame = np.zeros((batch, N, 2), dtype=np.int32)
         prev_synd = np.zeros((batch, N, 2), dtype=np.int32)
         ones = np.ones(batch, np.float32)
@@ -564,7 +691,9 @@ class BatchedGKP:
                 # fused single gadgets are shape- and rank-preserving
                 two_mode = t in (dv_gates.CZ, dv_gates.SWAP)
                 if self.adaptive and (two_mode or not self.fused_single):
-                    tensors = self._trim_tensors(tensors)
+                    tensors = (self._trim_with_ranks(tensors)
+                               if self._ranks is not None
+                               else self._trim_tensors(tensors))
 
             frame ^= cur_synd
             frame ^= np.asarray([layer.paulis], dtype=np.int32)

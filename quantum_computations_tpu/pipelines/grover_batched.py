@@ -117,6 +117,7 @@ def main(config: GroverBatchedConfig | None = None):
                 "fused_pair": runner.fused_pair,
                 "stream_eigh": os.environ.get("QCT_STREAM_EIGH", "host"),
                 "power_iters": os.environ.get("QCT_STREAM_POWER_ITERS", "2"),
+                "rank_track": runner._tracking_active,
             },
         })
         if config.data_file:

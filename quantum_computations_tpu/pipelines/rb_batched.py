@@ -175,6 +175,7 @@ def main(config: RBBatchedConfig | None = None):
                     "fused_pair": runner.fused_pair,
                     "stream_eigh": os.environ.get("QCT_STREAM_EIGH", "host"),
                     "power_iters": os.environ.get("QCT_STREAM_POWER_ITERS", "2"),
+                    "rank_track": runner._tracking_active,
                 },
             })
             logger.info("db=%.3f depth=%d: %d samples in %.1fs (%d dropped)",

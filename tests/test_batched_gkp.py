@@ -127,3 +127,51 @@ def test_epsilon_is_traced_not_baked():
     runner_b._cache = runner_a._cache  # share the executor cache across dBs
     runner_b.run_circuit(circ, coeffs, 2, rng_seed=0)
     assert set(runner_b._cache) == sigs_a  # dB change adds NO new executors
+
+
+def _run_production_path(track: bool, *, seed=7, stream_threshold=None,
+                         monkeypatch=None):
+    """Run the production engine config (op granularity, adaptive, fused
+    single+pair) on a circuit hitting every rank-tracked op: Bell splices,
+    BS splits, fused pair-measures, fused singles and feed-forward."""
+    from quantum_computations_tpu.cv import gates as cvg
+
+    if stream_threshold is not None:
+        monkeypatch.setattr(cvg, "_STREAM_THRESHOLD", stream_threshold)
+    gates = [dvg.H(0), dvg.CZ(0, 1), dvg.T(1), dvg.SWAP(0, 1), dvg.P(0)]
+    circ = MBGKPCircuit.transpile(gates, 2)
+    circ.fill()
+    runner = BatchedGKP(QS, EPS, SVD, adaptive=True, granularity="op",
+                        fused_single=True, fused_pair=True, track_ranks=track)
+    coeffs = logical_coeffs([DVState.ZERO, DVState.ZERO])
+    tensors, frames = runner.run_circuit(circ, coeffs, 3, rng_seed=seed)
+    return [np.asarray(t) for t in tensors], frames, runner
+
+
+def test_rank_tracking_matches_full_fetch():
+    """Host-tracked bond ranks must reproduce the full-fetch trim decisions
+    exactly: identical shapes (same trims), identical values, identical
+    frames — with NO full-chain rank fetch compiled in tracking mode."""
+    t_on, f_on, r_on = _run_production_path(True)
+    t_off, f_off, r_off = _run_production_path(False)
+    assert [t.shape for t in t_on] == [t.shape for t in t_off]
+    for a, b in zip(t_on, t_off):
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-12)
+    np.testing.assert_array_equal(f_on, f_off)
+    assert not any(k[0] == "ranks" for k in r_on._cache)  # no full fetch
+    assert any(k[0] == "ranks" for k in r_off._cache)     # control
+
+
+def test_rank_tracking_matches_full_fetch_streamed(monkeypatch):
+    """Same parity check with the streamed BS branch forced on (tiny
+    threshold): the split's host-returned rank must match what the full
+    fetch would measure on the zero-masked factors."""
+    t_on, f_on, r_on = _run_production_path(
+        True, seed=11, stream_threshold=1, monkeypatch=monkeypatch)
+    t_off, f_off, r_off = _run_production_path(
+        False, seed=11, stream_threshold=1, monkeypatch=monkeypatch)
+    assert [t.shape for t in t_on] == [t.shape for t in t_off]
+    for a, b in zip(t_on, t_off):
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-12)
+    np.testing.assert_array_equal(f_on, f_off)
+    assert not any(k[0] == "ranks" for k in r_on._cache)
