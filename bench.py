@@ -115,14 +115,44 @@ def run_tpu_production() -> float:
     gkp_circ, qs, eps, svd = _production_circ()
     coeffs = logical_coeffs([DVState.ZERO, DVState.ZERO])
 
-    def measure(runner):
-        def run_and_check(seed):
-            tensors, frames = runner.run_circuit(gkp_circ, coeffs, BATCH,
-                                                 rng_seed=seed)
-            rho_re, _ = runner.readout(tensors, frames)
+    # QCT_BENCH_THREADS=T > 1 runs T half-batch trajectory streams in
+    # Python threads (separate engine instances sharing one executor cache):
+    # while one stream stalls on a streamed-split Gram fetch or runs its
+    # host eigh, another stream's dispatches keep the chip busy. Total
+    # trajectories per timed call stays BATCH.
+    THREADS = int(os.environ.get("QCT_BENCH_THREADS", "1"))
+
+    def measure(runner, runners=()):
+        def run_one(r, seed):
+            tensors, frames = r.run_circuit(gkp_circ, coeffs,
+                                            BATCH // max(1, len(runners) or 1),
+                                            rng_seed=seed)
+            rho_re, _ = r.readout(tensors, frames)
             traces = np.asarray(rho_re).trace(axis1=1, axis2=2)
             if not np.all(np.isfinite(traces)) or not np.all(traces > 0):
                 raise RuntimeError(f"bench output invalid: traces={traces}")
+
+        def run_and_check(seed):
+            if len(runners) <= 1:
+                run_one(runner, seed)
+                return
+            import threading
+            errs = []
+
+            def work(i, r):
+                try:
+                    run_one(r, 1000 * seed + i)
+                except Exception as e:  # surfaced after join
+                    errs.append(e)
+
+            ts = [threading.Thread(target=work, args=(i, r))
+                  for i, r in enumerate(runners)]
+            for t in ts:
+                t.start()
+            for t in ts:
+                t.join()
+            if errs:
+                raise errs[0]
 
         run_and_check(0)  # compile / cache-load + warm + validate
         t0 = time.perf_counter()
@@ -130,18 +160,28 @@ def run_tpu_production() -> float:
             run_and_check(r + 1)
         return REPS * BATCH / (time.perf_counter() - t0)
 
+    def make_streams(**kw):
+        rs = [BatchedGKP(qs, eps, svd, adaptive=True, granularity="op", **kw)
+              for _ in range(max(1, THREADS))]
+        for e in rs[1:]:
+            e._cache = rs[0]._cache  # share the executor cache
+        return rs
+
     try:
-        runner = BatchedGKP(qs, eps, svd, adaptive=True, granularity="op")
-        value = measure(runner)
+        runners = make_streams()
+        runner = runners[0]
+        value = measure(runner, runners if THREADS > 1 else ())
         _CONFIG_USED.update(fused_single=runner.fused_single,
                             fused_pair=runner.fused_pair)
+        if THREADS > 1:
+            _CONFIG_USED.update(bench_threads=THREADS)
         return value
     except Exception as exc:
         print(f"# fused-engine bench failed ({exc!r}); "
               "falling back to the split-op engine", file=sys.stderr)
-        runner = BatchedGKP(qs, eps, svd, adaptive=True, granularity="op",
-                            fused_single=False, fused_pair=False)
-        value = measure(runner)
+        runners = make_streams(fused_single=False, fused_pair=False)
+        runner = runners[0]
+        value = measure(runner, runners if THREADS > 1 else ())
         _CONFIG_USED.update(fused_single=False, fused_pair=False,
                             fused_fallback=True)
         return value

@@ -622,7 +622,8 @@ class BatchedGKP:
                     tensors, synd = self._single(
                         tensors, idx, a2, 0.0 * ones, a2, 0.0 * ones, keys,
                         a1=0.0, a1_zero=True)
-                    cur_synd[:, idx, :] = np.asarray(synd)
+                    with span("op:synd_fetch"):
+                        cur_synd[:, idx, :] = np.asarray(synd)
                     if self.adaptive and not self.fused_single:
                         tensors = self._trim_tensors(tensors)
                     continue
@@ -636,7 +637,8 @@ class BatchedGKP:
                         tensors, idx, (np.pi / 2) * ones, 0.0 * ones,
                         sgn * np.pi / 2, sgn * np.pi / 8, keys,
                         a1=0.0, a1_zero=True)
-                    cur_synd[:, idx, :] = np.asarray(synd)
+                    with span("op:synd_fetch"):
+                        cur_synd[:, idx, :] = np.asarray(synd)
                     if self.adaptive and not self.fused_single:
                         tensors = self._trim_tensors(tensors)
                     continue
@@ -662,29 +664,34 @@ class BatchedGKP:
                     tensors, synd = self._single(
                         tensors, idx, (np.pi / 2) * ones, 0.0 * ones,
                         (np.pi / 2) * ones, 0.0 * ones, keys, a1=0.0, a1_zero=True)
-                    cur_synd[:, idx, :] = np.asarray(synd)
+                    with span("op:synd_fetch"):
+                        cur_synd[:, idx, :] = np.asarray(synd)
                 elif t is dv_gates.H:
                     idx = gate.indices[0]
                     tensors, synd = self._single(
                         tensors, idx, (-np.pi / 4) * ones, (np.pi / 4) * ones,
                         (-np.pi / 4) * ones, 0.0 * ones, keys,
                         a1=np.pi / 4, a1_zero=False)
-                    cur_synd[:, idx, :] = np.asarray(synd)
+                    with span("op:synd_fetch"):
+                        cur_synd[:, idx, :] = np.asarray(synd)
                 elif t in (dv_gates.P, dv_gates.Pdg):
                     idx = gate.indices[0]
                     a2 = (-ARCTAN2 if t is dv_gates.Pdg else ARCTAN2) * ones
                     tensors, synd = self._single(
                         tensors, idx, a2, 0.0 * ones, a2, 0.0 * ones, keys,
                         a1=0.0, a1_zero=True)
-                    cur_synd[:, idx, :] = np.asarray(synd)
+                    with span("op:synd_fetch"):
+                        cur_synd[:, idx, :] = np.asarray(synd)
                 elif t is dv_gates.CZ:
                     idx = min(gate.indices)
                     tensors, synd = self._two(tensors, idx, MB2Type.CZ, keys)
-                    cur_synd[:, idx:idx + 2, :] = np.asarray(synd)
+                    with span("op:synd_fetch"):
+                        cur_synd[:, idx:idx + 2, :] = np.asarray(synd)
                 elif t is dv_gates.SWAP:
                     idx = min(gate.indices)
                     tensors, synd = self._two(tensors, idx, MB2Type.SWAP, keys)
-                    cur_synd[:, idx:idx + 2, :] = np.asarray(synd)
+                    with span("op:synd_fetch"):
+                        cur_synd[:, idx:idx + 2, :] = np.asarray(synd)
                 else:
                     raise NotImplementedError(f"Gate {gate} not supported in batched mode.")
 
