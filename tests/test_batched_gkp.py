@@ -175,3 +175,25 @@ def test_rank_tracking_matches_full_fetch_streamed(monkeypatch):
         np.testing.assert_allclose(a, b, rtol=0, atol=1e-12)
     np.testing.assert_array_equal(f_on, f_off)
     assert not any(k[0] == "ranks" for k in r_on._cache)
+
+
+@pytest.mark.slow
+def test_rank_tracking_three_qubit_middle_insert():
+    """3-qubit chain: the CZ(1,2) macronode splices Bells mid-chain (both
+    the front/middle and the append insert paths) — parity vs full fetch."""
+    gates = [dvg.H(0), dvg.CZ(1, 2), dvg.CZ(0, 1), dvg.T(2)]
+    circ = MBGKPCircuit.transpile(gates, 3)
+    circ.fill()
+    outs = []
+    for track in (True, False):
+        runner = BatchedGKP(QS, EPS, SVD, adaptive=True, granularity="op",
+                            fused_single=True, fused_pair=True,
+                            track_ranks=track)
+        coeffs = logical_coeffs([DVState.ZERO] * 3)
+        tensors, frames = runner.run_circuit(circ, coeffs, 2, rng_seed=13)
+        outs.append(([np.asarray(t) for t in tensors], frames))
+    (t_on, f_on), (t_off, f_off) = outs
+    assert [t.shape for t in t_on] == [t.shape for t in t_off]
+    for a, b in zip(t_on, t_off):
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-12)
+    np.testing.assert_array_equal(f_on, f_off)
