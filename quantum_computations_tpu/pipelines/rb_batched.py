@@ -56,7 +56,8 @@ def _dv_state_np(circ, N: int) -> np.ndarray:
 
 def sample_depth_batched(runner: BatchedGKP, db: float, depth: int,
                          num_samples: int, batch: int, rng,
-                         stats: dict | None = None) -> list[dict]:
+                         stats: dict | None = None,
+                         runners: list[BatchedGKP] | None = None) -> list[dict]:
     """RB samples for one (db, depth) cell: ceil(num_samples / batch) random
     circuits, `batch` trajectories each, scored against the exact DV state.
 
@@ -64,6 +65,13 @@ def sample_depth_batched(runner: BatchedGKP, db: float, depth: int,
     counted in `stats` ({"attempted", "dropped"}) so every dataset reports
     its drop rate — a silent resample would bias the cell mean upward if
     failures correlate with low-fidelity trajectories.
+
+    ``runners`` (QCT_RB_THREADS > 1): run one circuit-batch stream per
+    engine instance in Python threads — while one stream stalls on a
+    streamed-split Gram fetch or its host eigh, another stream's dispatches
+    keep the chip busy. Rows are statistically identical to the serial path
+    (every row is a full batch of a freshly drawn circuit) but the
+    thread interleaving makes the DATASET composition non-bit-reproducible.
     """
     N = 2
     rng = np.random.default_rng(rng)
@@ -72,6 +80,9 @@ def sample_depth_batched(runner: BatchedGKP, db: float, depth: int,
     stats.setdefault("attempted", 0)
     stats.setdefault("dropped", 0)
     max_attempts = 3 * num_samples + 3 * batch
+    if runners and len(runners) > 1:
+        return _sample_depth_threaded(runners, db, depth, num_samples, batch,
+                                      rng, rows, stats, max_attempts, N)
     while len(rows) < num_samples:
         if stats["attempted"] >= max_attempts:
             raise RuntimeError(
@@ -93,28 +104,89 @@ def sample_depth_batched(runner: BatchedGKP, db: float, depth: int,
                     db, depth, n, timer() - t_batch, len(rows) + n,
                     num_samples)
         rho_re, rho_im = (np.asarray(x) for x in runner.readout(tensors, frames))
-        psi = _dv_state_np(dv_circ, N)
         stats["attempted"] += n
-        for t in range(n):
-            rho = rho_re[t] + 1j * rho_im[t]
-            tr = np.trace(rho).real
-            if not np.isfinite(tr) or tr <= 0:
-                stats["dropped"] += 1
-                logger.warning("dropping non-finite trajectory (trace=%s)", tr)
-                continue
-            # RAW rho (reference convention): truncation-discarded weight
-            # counts as infidelity — randomised_benchmarking.py:71-77 scores
-            # npq.fidelity on the unnormalised Shaw logical density.
-            rows.append({
-                "db": float(db), "depth": int(depth),
-                "fidelity": float(np.real(np.conj(psi) @ rho @ psi)),
-                "purity": float(np.trace(rho @ rho).real),
-                # extra diagnostic (not in the reference schema): the raw
-                # trace separates code-space leakage from logical error —
-                # reference traces at 5.833 dB are ~0.967 (sqrt of the
-                # committed purities), a parity target for our engine.
-                "trace": float(tr),
-            })
+        # RAW rho (reference convention): truncation-discarded weight counts
+        # as infidelity — randomised_benchmarking.py:71-77 scores
+        # npq.fidelity on the unnormalised Shaw logical density. The `trace`
+        # key is an extra diagnostic (not in the reference schema): the raw
+        # trace separates code-space leakage from logical error.
+        scored, dropped = _score_batch(rho_re, rho_im, _dv_state_np(dv_circ, N),
+                                       db, depth)
+        rows.extend(scored)
+        stats["dropped"] += dropped
+    return rows
+
+
+def _score_batch(rho_re, rho_im, psi, db, depth):
+    """Score one batch readout: (rows, dropped)."""
+    scored: list[dict] = []
+    dropped = 0
+    for t in range(rho_re.shape[0]):
+        rho = rho_re[t] + 1j * rho_im[t]
+        tr = np.trace(rho).real
+        if not np.isfinite(tr) or tr <= 0:
+            dropped += 1
+            logger.warning("dropping non-finite trajectory (trace=%s)", tr)
+            continue
+        scored.append({
+            "db": float(db), "depth": int(depth),
+            "fidelity": float(np.real(np.conj(psi) @ rho @ psi)),
+            "purity": float(np.trace(rho @ rho).real),
+            "trace": float(tr),
+        })
+    return scored, dropped
+
+
+def _sample_depth_threaded(runners, db, depth, num_samples, batch, rng, rows,
+                           stats, max_attempts, N):
+    """Threaded cell sampler: one stream per engine instance (see
+    sample_depth_batched)."""
+    import threading
+
+    lock = threading.Lock()
+    errors: list[Exception] = []
+
+    def work(r: BatchedGKP):
+        while True:
+            with lock:
+                if len(rows) >= num_samples or errors:
+                    return
+                if stats["attempted"] >= max_attempts:
+                    errors.append(RuntimeError(
+                        f"cell (db={db}, depth={depth}): {stats['dropped']} "
+                        f"of {stats['attempted']} trajectories non-finite — "
+                        "aborting instead of resampling forever"))
+                    return
+                stats["attempted"] += batch  # reserve this stream's batch
+                dv_circ, gkp_circ = random_circ(N, depth, rng)
+                seed = int(rng.integers(2**31))
+            t_batch = timer()
+            try:
+                tensors, frames = r.run_circuit(
+                    gkp_circ, logical_coeffs([DVState.ZERO] * N), batch,
+                    rng_seed=seed)
+                rho_re, rho_im = (np.asarray(x)
+                                  for x in r.readout(tensors, frames))
+            except Exception as exc:  # surfaced after join
+                with lock:
+                    errors.append(exc)
+                return
+            scored, dropped = _score_batch(rho_re, rho_im,
+                                           _dv_state_np(dv_circ, N), db, depth)
+            with lock:
+                rows.extend(scored)
+                stats["dropped"] += dropped
+                logger.info("db=%.3f depth=%d: batch of %d in %.0fs (%d/%d)",
+                            db, depth, batch, timer() - t_batch,
+                            len(rows), num_samples)
+
+    threads = [threading.Thread(target=work, args=(r,)) for r in runners]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if errors:
+        raise errors[0]
     return rows
 
 
@@ -147,16 +219,19 @@ def main(config: RBBatchedConfig | None = None):
     data: list[dict] = []
     meta: list[dict] = []
     shared_cache: dict = {}  # epsilon is traced, so executors are dB-agnostic
+    n_threads = max(1, int(os.environ.get("QCT_RB_THREADS", "1")))
     for db in [float(x) for x in str(config.dbs).split(",")]:
-        runner = BatchedGKP(qs, float(db2eps(db)), svd, adaptive=True,
-                            granularity="op")
-        runner._cache = shared_cache
+        runners = [BatchedGKP(qs, float(db2eps(db)), svd, adaptive=True,
+                              granularity="op") for _ in range(n_threads)]
+        for r in runners:
+            r._cache = shared_cache
+        runner = runners[0]
         for depth in [int(x) for x in str(config.depths).split(",")]:
             t0 = timer()
             stats: dict = {}
             cell = sample_depth_batched(runner, db, depth,
                                         config.num_samples, config.batch, rng,
-                                        stats)
+                                        stats, runners=runners)
             data += cell
             dt = timer() - t0
             fids = [r["fidelity"] for r in cell]
@@ -176,6 +251,7 @@ def main(config: RBBatchedConfig | None = None):
                     "stream_eigh": os.environ.get("QCT_STREAM_EIGH", "host"),
                     "power_iters": os.environ.get("QCT_STREAM_POWER_ITERS", "2"),
                     "rank_track": runner._tracking_active,
+                    "threads": n_threads,
                 },
             })
             logger.info("db=%.3f depth=%d: %d samples in %.1fs (%d dropped)",

@@ -225,3 +225,20 @@ def test_grover_batched_smoke(tmp_path):
     meta = json.loads((tmp_path / "grov.dat.meta.json").read_text())
     assert meta[0]["samples"] == 2
     assert meta[0]["drop_rate"] == meta[0]["dropped"] / meta[0]["attempted"]
+
+
+def test_rb_batched_threaded_streams(monkeypatch):
+    """QCT_RB_THREADS=2 runs two engine streams; rows remain schema-valid
+    and the cell meta records the thread count."""
+    import numpy as np
+    from quantum_computations_tpu.pipelines.rb_batched import RBBatchedConfig, main
+
+    monkeypatch.setenv("QCT_RB_THREADS", "2")
+    rows = main(RBBatchedConfig(dbs="10.0", depths="2", num_samples=4, batch=2,
+                                grid_points=128, grid_span=15.0,
+                                max_bond_dim=10, data_file="", rng_seed=2))
+    assert len(rows) >= 4
+    for r in rows:
+        assert set(r) == {"db", "depth", "fidelity", "purity", "trace"}
+        assert 0.5 < r["trace"] <= 1.05
+        assert -0.05 <= r["fidelity"] <= 1.05
