@@ -1,19 +1,20 @@
 #!/bin/bash
-# Round-4 queue 21: consolidated follow-up to queue 17, value-ordered so the
-# highest-VERDICT items land first if the round ends mid-queue.
+# Round-4 queue 21 (v3, folds in queue 22): value-ordered follow-up to
+# queue 17 so the VERDICT deliverables land first if the round ends
+# mid-queue. Everything is .done-gated — re-runnable after tunnel drops,
+# and round 5 resumes whatever is left.
 #
-#   1. Grover success curves for the weak oracles {2,7} and {3,6} — split
-#      into per-dB-point steps (one .dat per point, pooled by
-#      merge_grover_tpu.py's gkp_grover_tpu_<oracle>_*.dat glob) so a
-#      tunnel drop or round end keeps every finished point.
-#   2. GKP roofline + fused+q2 attribution (pulled forward from queue 18).
-#   3. RB grid completion: rows 11.667 and 12.5 dB (reference depths
-#      8/30/60, producer impact_.../randomised_benchmarking.py:78-123)
-#      -> all 9 reference dB rows covered.  d8 cells first (cheap), then
-#      d30, d60 last (expensive).
-#   4. {0,4} sweep extension, uncontended q2-vs-ref bench pair (queue 19),
-#      sv move-decomposition timings (queue 20), scheduler A/B repeat.
-# All steps .done-gated — re-runnable after tunnel drops.
+#   1. GKP roofline + fused+q2+tracked attribution (VERDICT #2/#5).
+#   2. Grover success curves for the weak oracles {2,7} and {3,6} — one
+#      step per dB point (one .dat per point, pooled by merge_grover_tpu's
+#      gkp_grover_tpu_<oracle>_*.dat glob) so a tunnel drop or round end
+#      keeps every finished point (VERDICT #3).
+#   3. Engine-lever A/Bs: defaults re-bench with the rank tracker, threaded
+#      streams, batch 24/32.
+#   4. RB grid completion rows 11.667/12.5 (reference depths 8/30/60),
+#      {0,4} sweep extension, uncontended q2-vs-ref pair, sv move timings,
+#      scheduler A/B repeat, remaining low-dB depth-12/18 + depth-30/60
+#      reference cells.
 set -u
 cd "$(dirname "$0")/.."
 B=benchmarks
@@ -74,46 +75,46 @@ rb_cell() { # rb_cell <db> <depth> <seed> <samples>
 for pass in 1 2; do
     echo "=== queue21 pass $pass starting at $(date -u +%H:%M:%S)"
 
-    # 0. batch-size lever on the headline bench: the streamed splits are
-    #    batched on-device, but each op pays a constant host-driving cost —
-    #    a larger batch amortises it. 32 may OOM (live set ~2x); 24 is the
-    #    fallback. Either result adjudicates the knob.
+    # 1. roofline + attribution (VERDICT #2/#5)
+    step gkp-roofline 10800 python $B/gkp_roofline.py
+    step profile-rb-fused-q2 10800 python $B/profile_rb.py
+
+    # 2. Grover success curves, per-point (VERDICT #3); alternate oracles
+    #    so a mid-sweep round end leaves BOTH curves partially filled
+    for db in 6.667 8.333 10.0 11.667 13.333; do
+        grover_point 2,7 "$db" 20 "92$(printf '%.0f' "${db/./}")"
+        grover_point 3,6 "$db" 20 "93$(printf '%.0f' "${db/./}")"
+    done
+
+    # 3. engine-lever A/Bs
+    step bench-r4-tracked 10800 env QCT_BENCH_REPS=3 QCT_BENCH_TOY=0 \
+        python bench.py
+    step bench-threads2 10800 env QCT_BENCH_THREADS=2 QCT_BENCH_REPS=3 \
+        QCT_BENCH_TOY=0 python bench.py
     step bench-batch24 5400 env QCT_BENCH_BATCH=24 QCT_BENCH_REPS=3 \
         QCT_BENCH_TOY=0 python bench.py
     step bench-batch32 5400 env QCT_BENCH_BATCH=32 QCT_BENCH_REPS=3 \
         QCT_BENCH_TOY=0 python bench.py
 
-    # 1. Grover success curves, per-point (VERDICT missing #3)
-    for db in 6.667 8.333 10.0 11.667 13.333; do
-        grover_point 2,7 "$db" 20 "92$(printf '%.0f' "${db/./}")"
-    done
-    for db in 6.667 8.333 10.0 11.667 13.333; do
-        grover_point 3,6 "$db" 20 "93$(printf '%.0f' "${db/./}")"
-    done
-
-    # 2. roofline + attribution (VERDICT missing #4 / next #2,#5)
-    step gkp-roofline 10800 python $B/gkp_roofline.py
-    step profile-rb-fused-q2 10800 python $B/profile_rb.py
-
-    # 3. RB grid completion: rows 11.667 / 12.5 at reference depths 8/30/60
+    # 4. RB grid completion: rows 11.667 / 12.5 (reference depths 8/30/60)
     rb_cell 11.667 8  110809 100
     rb_cell 12.5   8  120809 100
     rb_cell 11.667 30 110831 80
     rb_cell 12.5   30 120831 80
 
-    # 4. {0,4} sweep extension (per-point)
+    # 5. {0,4} sweep extension (per-point)
     grover_point 0,4 11.667 20 9051
     grover_point 0,4 15.0   20 9052
 
-    # 5. uncontended q2-vs-ref headline pair (queue 19)
+    # 6. uncontended q2-vs-ref headline pair
     step bench-r4-ref 10800 env QCT_STREAM_POWER_ITERS=ref QCT_BENCH_REPS=3 \
         QCT_BENCH_TOY=0 python bench.py
 
-    # 6. depth-60 tails of the new rows (expensive; keep last of the grid)
+    # 7. depth-60 tails of the new rows
     rb_cell 11.667 60 110861 64
     rb_cell 12.5   60 120861 64
 
-    # 7. sv move-decomposition timings (queue 20)
+    # 8. sv move-decomposition timings
     step sv30-moves 7200 env QCT_SV_QUBITS=30 QCT_SV_REPS=3 \
         QCT_SV_PATHS=calib,slabengine python $B/statevector_bench.py
     step sv29-moves 7200 env QCT_SV_QUBITS=29 QCT_SV_REPS=3 \
@@ -122,7 +123,7 @@ for pass in 1 2; do
         QCT_SV_MOVE_DECOMP=1 \
         QCT_SV_PATHS=calib,slabengine python $B/statevector_bench.py
 
-    # 8. scheduler A/B repeat — queue 17 skipped these via pre-touched
+    # 9. scheduler A/B repeat — queue 17 skipped these via pre-touched
     #    markers; clear them so the steps actually run here
     if [ "$pass" = 1 ] && [ ! -f "$LOGS/sv28-plan-r2.log" ]; then
         rm -f "$LOGS/sv28-plan-r2.done" "$LOGS/sv28-noplan-r2.done"
@@ -132,9 +133,7 @@ for pass in 1 2; do
     step sv28-noplan-r2 3600 env QCT_SV_QUBITS=28 QCT_SV_REPS=5 QCT_SV_PLAN=0 \
         QCT_SV_PATHS=calib,slabengine python $B/statevector_bench.py
 
-    # 9. every remaining reference cell through 12.5 dB
-    #    (gkp_rb.dat also has d12 at 5.833/6.667/7.5, d18 at 5.833,
-    #     d30 at 9.167/10.0/10.833, d60 at 10.833)
+    # 10. every remaining reference cell through 12.5 dB
     rb_cell 5.833  12 51208 100
     rb_cell 6.667  12 61208 100
     rb_cell 7.5    12 71208 100
