@@ -61,49 +61,99 @@ def main(config: GroverBatchedConfig | None = None):
     data: list[dict] = []
     meta: list[dict] = []
     shared_cache: dict = {}  # epsilon is traced, so executors are dB-agnostic
+    # QCT_GROVER_THREADS > 1: one engine stream per thread (rb_batched.py
+    # pattern) — a stream stalled on a Gram fetch / host eigh no longer
+    # idles the chip. Row provenance (batch seed, lane) is unchanged;
+    # dataset ORDER is not bit-reproducible across interleavings.
+    n_threads = max(1, int(os.environ.get("QCT_GROVER_THREADS", "1")))
     for i, db in enumerate([float(x) for x in str(config.dbs).split(",")]):
         eps = float(db2eps(db))
-        runner = BatchedGKP(qs, eps, svd, adaptive=True, granularity="op")
-        runner._cache = shared_cache
-        kept = attempted = dropped = 0
+        runners = [BatchedGKP(qs, eps, svd, adaptive=True, granularity="op")
+                   for _ in range(n_threads)]
+        for r in runners:
+            r._cache = shared_cache
+        runner = runners[0]
+        st = {"kept": 0, "attempted": 0, "dropped": 0}
+        max_attempts = 3 * config.trajectories + 3 * config.batch
         t_db = timer()
-        while kept < config.trajectories:
-            if attempted >= 3 * config.trajectories + 3 * config.batch:
-                raise RuntimeError(
-                    f"db={db}: {dropped}/{attempted} trajectories non-finite — "
-                    "aborting instead of resampling forever")
-            n = min(config.batch, config.trajectories - kept)
-            t0 = timer()
-            batch_seed = config.rng_seed + 1000 * i + attempted
-            tensors, frames = runner.run_circuit(
-                gkp_circuit, coeffs, n, rng_seed=batch_seed)
-            rho_re, rho_im = (np.asarray(x) for x in runner.readout(tensors, frames))
-            batch_secs = timer() - t0
-            attempted += n
-            for t in range(n):
-                rho = rho_re[t] + 1j * rho_im[t]
-                if not np.isfinite(np.trace(rho).real) or np.trace(rho).real <= 0:
-                    dropped += 1
-                    logger.warning("dropping non-finite trajectory")
-                    continue
-                kept += 1
-                data.append({
-                    "epsilon": eps,
-                    "rho_real": rho.real.tolist(),
-                    "rho_imag": rho.imag.tolist(),
-                    # reference rows carry simulation_time + rng_state
-                    # (grover.py:132-137); trajectories here share a batched
-                    # device launch, so the per-row time is the batch wall
-                    # time amortised over its trajectories, and the PRNG
-                    # provenance is (batch seed, lane) under our explicit
-                    # jax.random key discipline (PARITY.md).
-                    "simulation_time": round(batch_secs / n, 3),
-                    "rng_seed": int(batch_seed), "rng_lane": int(t),
-                })
-            logger.info("db=%.2f: %d/%d trajectories (%.0fs/batch)", db, kept,
-                        config.trajectories, timer() - t0)
-            if config.data_file:
-                write_data(config.data_file, data)
+
+        import threading
+
+        lock = threading.Lock()
+        errors: list[Exception] = []
+
+        def work(r: BatchedGKP, i=i, db=db, eps=eps, st=st, lock=lock,
+                 errors=errors):
+            while True:
+                with lock:
+                    if st["kept"] >= config.trajectories or errors:
+                        return
+                    if st["attempted"] >= max_attempts:
+                        errors.append(RuntimeError(
+                            f"db={db}: {st['dropped']}/{st['attempted']} "
+                            "trajectories non-finite — aborting instead of "
+                            "resampling forever"))
+                        return
+                    n = (config.batch if n_threads > 1
+                         else min(config.batch,
+                                  config.trajectories - st["kept"]))
+                    batch_seed = config.rng_seed + 1000 * i + st["attempted"]
+                    st["attempted"] += n
+                t0 = timer()
+                try:
+                    tensors, frames = r.run_circuit(
+                        gkp_circuit, coeffs, n, rng_seed=batch_seed)
+                    rho_re, rho_im = (np.asarray(x)
+                                      for x in r.readout(tensors, frames))
+                except Exception as exc:
+                    with lock:
+                        errors.append(exc)
+                    return
+                batch_secs = timer() - t0
+                scored = []
+                dropped = 0
+                for t in range(n):
+                    rho = rho_re[t] + 1j * rho_im[t]
+                    if (not np.isfinite(np.trace(rho).real)
+                            or np.trace(rho).real <= 0):
+                        dropped += 1
+                        logger.warning("dropping non-finite trajectory")
+                        continue
+                    scored.append({
+                        "epsilon": eps,
+                        "rho_real": rho.real.tolist(),
+                        "rho_imag": rho.imag.tolist(),
+                        # reference rows carry simulation_time + rng_state
+                        # (grover.py:132-137); trajectories here share a
+                        # batched device launch, so the per-row time is the
+                        # batch wall time amortised over its trajectories,
+                        # and the PRNG provenance is (batch seed, lane) under
+                        # our explicit jax.random key discipline (PARITY.md).
+                        "simulation_time": round(batch_secs / n, 3),
+                        "rng_seed": int(batch_seed), "rng_lane": int(t),
+                    })
+                with lock:
+                    st["kept"] += len(scored)
+                    st["dropped"] += dropped
+                    data.extend(scored)
+                    logger.info("db=%.2f: %d/%d trajectories (%.0fs/batch)",
+                                db, st["kept"], config.trajectories,
+                                batch_secs)
+                    if config.data_file:
+                        write_data(config.data_file, data)
+
+        if n_threads > 1:
+            threads = [threading.Thread(target=work, args=(r,))
+                       for r in runners]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+        else:
+            work(runner)
+        if errors:
+            raise errors[0]
+        kept, attempted, dropped = st["kept"], st["attempted"], st["dropped"]
         dt = timer() - t_db
         meta.append({
             "db": float(db), "epsilon": eps, "samples": kept,
@@ -118,6 +168,7 @@ def main(config: GroverBatchedConfig | None = None):
                 "stream_eigh": os.environ.get("QCT_STREAM_EIGH", "host"),
                 "power_iters": os.environ.get("QCT_STREAM_POWER_ITERS", "2"),
                 "rank_track": runner._tracking_active,
+                "threads": n_threads,
             },
         })
         if config.data_file:

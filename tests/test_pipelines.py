@@ -242,3 +242,23 @@ def test_rb_batched_threaded_streams(monkeypatch):
         assert set(r) == {"db", "depth", "fidelity", "purity", "trace"}
         assert 0.5 < r["trace"] <= 1.05
         assert -0.05 <= r["fidelity"] <= 1.05
+
+
+@pytest.mark.slow
+def test_grover_batched_threaded_streams(tmp_path, monkeypatch):
+    """QCT_GROVER_THREADS=2: two engine streams produce a schema-valid
+    dataset with thread provenance in the meta."""
+    from quantum_computations_tpu.pipelines.grover_batched import (
+        GroverBatchedConfig, main)
+
+    monkeypatch.setenv("QCT_GROVER_THREADS", "2")
+    path = str(tmp_path / "grov_thr.dat")
+    data = main(GroverBatchedConfig(tagged="0,4", dbs="10.0", trajectories=4,
+                                    batch=2, grid_points=256, grid_span=15.0,
+                                    max_bond_dim=12, rng_seed=3,
+                                    data_file=path, overwrite=True))
+    assert len(data) >= 4
+    seeds = {(r["rng_seed"], r["rng_lane"]) for r in data}
+    assert len(seeds) == len(data)  # provenance stays unique across streams
+    meta = json.loads((tmp_path / "grov_thr.dat.meta.json").read_text())
+    assert meta[0]["engine"]["threads"] == 2
