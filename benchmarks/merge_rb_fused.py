@@ -52,7 +52,10 @@ def main():
     for p in sorted(glob.glob(os.path.join(B, "gkp_rb_fused_10.0_d*.dat"))):
         if p.endswith(".meta.json"):
             continue
-        fused_rows += json.load(open(p))
+        try:  # in-flight cells leave empty placeholders
+            fused_rows += json.load(open(p))
+        except (json.JSONDecodeError, OSError):
+            continue
         mp = p + ".meta.json"
         if os.path.exists(mp):
             fused_meta += json.load(open(mp))
