@@ -75,20 +75,27 @@ rb_cell() { # rb_cell <db> <depth> <seed> <samples>
 for pass in 1 2; do
     echo "=== queue21 pass $pass starting at $(date -u +%H:%M:%S)"
 
-    # 1. roofline + attribution (VERDICT #2/#5)
+    # 1. roofline + attribution (VERDICT #2/#5; spans now split fused_pair
+    #    by path so the attribution adjudicates the Gram lever's ceiling)
     step gkp-roofline 10800 python $B/gkp_roofline.py
     step profile-rb-fused-q2 10800 python $B/profile_rb.py
 
-    # 2. Grover success curves, per-point (VERDICT #3); alternate oracles
+    # 2. Gram-factorised fused-pair p1 A/B (v4: the round-4 engine lever —
+    #    uncontended defaults baseline first, then the lever; CPU parity
+    #    proven in tests/test_fused_gadget.py)
+    step bench-r4-tracked 10800 env QCT_BENCH_REPS=3 QCT_BENCH_TOY=0 \
+        python bench.py
+    step bench-gram 10800 env QCT_FUSED_PAIR_GRAM=1 QCT_BENCH_REPS=3 \
+        QCT_BENCH_TOY=0 python bench.py
+
+    # 3. Grover success curves, per-point (VERDICT #3); alternate oracles
     #    so a mid-sweep round end leaves BOTH curves partially filled
     for db in 6.667 8.333 10.0 11.667 13.333; do
         grover_point 2,7 "$db" 20 "92$(printf '%.0f' "${db/./}")"
         grover_point 3,6 "$db" 20 "93$(printf '%.0f' "${db/./}")"
     done
 
-    # 3. engine-lever A/Bs
-    step bench-r4-tracked 10800 env QCT_BENCH_REPS=3 QCT_BENCH_TOY=0 \
-        python bench.py
+    # 4. remaining engine-lever A/Bs
     step bench-threads2 10800 env QCT_BENCH_THREADS=2 QCT_BENCH_REPS=3 \
         QCT_BENCH_TOY=0 python bench.py
     step bench-batch24 5400 env QCT_BENCH_BATCH=24 QCT_BENCH_REPS=3 \

@@ -340,6 +340,15 @@ class BatchedGKP:
         # fetch (which syncs anyway) instead of a separate full-chain fetch.
         want_rank = self._ranks is not None and p < L0 - 3
         sig = ("fused_pair", m, float(a1), float(a2), shapes, want_rank)
+        # Span label carries the executor's static path choice (mirrors
+        # fused_pair_measure2's dispatch on a1/a2) so on-chip attribution
+        # separates the three very different cost profiles.
+        if float(a1) != 0.0 and abs(float(a2)) < 1e-12:
+            path = "swapped"
+        elif float(a1) == 0.0:
+            path = "a1zero"
+        else:
+            path = "exact"
 
         def body(tt, key):
             new_tensors, m1, m2 = fused_pair_measure2(
@@ -353,9 +362,9 @@ class BatchedGKP:
             return tuple(new_tensors), ms, r
 
         fn = self._get(sig, body)
-        with span("op:fused_pair"):
+        with span(f"op:fused_pair[{path}]"):
             res = fn(tuple(tensors), keys)
-        with span("op:fused_pair_fetch"):
+        with span(f"op:fused_pair_fetch[{path}]"):
             ms = np.asarray(res[1])
         out_t = list(res[0])
         if self._ranks is not None:

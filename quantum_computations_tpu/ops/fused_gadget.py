@@ -58,6 +58,8 @@ measure).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 import jax
@@ -68,6 +70,12 @@ from .interp import rotation
 from .linalg import _ns_inv_sqrt
 
 __all__ = ["fused_single_gadget", "fused_pair_measure2"]
+
+# Gram-factorised correlation evaluation of the fused pair-measure's first
+# distribution (the d x (d chi^3) einsum pass) — see _gram_corr_p1. Applies
+# to the a1==0 and order-swapped paths at bs_angle=pi/4 on a symmetric grid
+# (the production gadget); other configurations fall back to the loop.
+_PAIR_GRAM_DEFAULT = os.environ.get("QCT_FUSED_PAIR_GRAM", "0") == "1"
 
 
 def _psd_sqrt(G: jax.Array) -> jax.Array:
@@ -288,6 +296,79 @@ def fused_single_gadget(tensors, idx: int, qs, bell, a1, a2, key, *,
     return new_tensors, m1, m2
 
 
+def _gram_corr_p1(lines1e, lines2e, qs_np, pad: int, a: int, k: int, c: int,
+                  *, swapped: bool, rdt) -> jax.Array:
+    """First-homodyne distribution of the fused pair-measure as a lattice
+    correlation of two Gram tabulations (bs_angle=pi/4, symmetric grid).
+
+    For the BS point rotation at 45 deg the post-BS pair amplitude on grid
+    row ``i`` is ``C_ij[a,c] = sum_k f1e[ak](s(q_i+q_j)) f2e[kc](s(q_j-q_i))``
+    (s = 1/sqrt(2); order-swapped path: second argument ``s(q_i-q_j)``), and
+
+        sum_ac |C_ij|^2 = sum_kk' G1[kk'](u_ij) G2[kk'](v_ij),
+        G1[kk'](u) = sum_a f1e[ak](u) conj(f1e[ak'](u)),
+        G2[kk'](v) = sum_c f2e[kc](v) conj(f2e[k'c](v)),
+
+    so the chi-sized open axes contract BEFORE the (i, j) grid double loop.
+    Both Gram arguments live on the half-spacing (refine=2) s-stretched
+    lattice: in fine-index coordinates ``n`` (``xi_n = s(q0+(n-2 pad) dq/2)``)
+    row ``i`` needs ``G1[2 pad + 2(i+j) - (d-1)]`` against
+    ``G2[2 pad + 2(j-i) + (d-1)]`` — indices of ONE parity class
+    ``rho = (d-1) mod 2``. On the parity subsequence (``n = 2m + rho``) the
+    j-sum is a cross-correlation at lag ``2i - (d-1)`` (swapped: a convolution
+    read at ``2(pad+i) - rho``), so the whole distribution is two tabulation
+    matmuls + per-point k x k Grams + one zero-padded FFT correlation —
+    O(d^2 chi^2) MXU work instead of the loop's O(d^2 chi^3) einsums. |f|^2
+    doubles the bandwidth, so the half-spacing tabulation is exact.
+    """
+    d = int(qs_np.shape[0])
+    sth = float(np.cos(np.pi / 4))
+    rho = (d - 1) % 2
+    S2, M2, _ = _stretch_sample_matrix(qs_np, sth, 2, pad)
+    Sf = jnp.asarray(S2[rho::2], dtype=rdt)          # (M_eff, d) parity rows
+    m_eff = Sf.shape[0]
+    n_fft = 1 << int(2 * m_eff - 1).bit_length()
+
+    U1 = jnp.matmul(Sf, lines1e, precision=PRECISION).reshape(m_eff, a, k)
+    U2 = jnp.matmul(Sf, lines2e, precision=PRECISION).reshape(m_eff, k, c)
+
+    # Chunk the k' (l) axis: the executors are vmapped over the trajectory
+    # batch, so full (n_fft, k, k) spectra would hold several batched
+    # multi-GB tensors live at once; accumulating the scalar spectrum per
+    # l-chunk keeps the live set to the two tabulations plus one chunk.
+    lc = k if k <= 16 else 8
+    n_chunks = -(-k // lc)
+    if n_chunks * lc != k:
+        U1l = jnp.pad(U1, ((0, 0), (0, 0), (0, n_chunks * lc - k)))
+        U2l = jnp.pad(U2, ((0, 0), (0, n_chunks * lc - k), (0, 0)))
+    else:
+        U1l, U2l = U1, U2
+
+    def chunk_body(i, spec):
+        u1c = jax.lax.dynamic_slice_in_dim(U1l, i * lc, lc, axis=2)
+        u2c = jax.lax.dynamic_slice_in_dim(U2l, i * lc, lc, axis=1)
+        G1c = jnp.einsum("mak,mal->mkl", U1, jnp.conj(u1c), precision=PRECISION)
+        G2c = jnp.einsum("mkc,mlc->mkl", U2, jnp.conj(u2c), precision=PRECISION)
+        F1c = jnp.fft.fft(G1c, n=n_fft, axis=0)
+        F2c = jnp.fft.fft(G2c, n=n_fft, axis=0)
+        if not swapped:
+            # correlation C[tau] = sum_m g[m+tau] h[m]:
+            # spectrum g_hat(w) h_hat(-w)
+            F2c = jnp.roll(jnp.flip(F2c, axis=0), 1, axis=0)
+        return spec + jnp.einsum("wkl,wkl->w", F1c, F2c, precision=PRECISION)
+
+    spec = jax.lax.fori_loop(0, n_chunks, chunk_body,
+                             jnp.zeros((n_fft,), U1.dtype))
+    if swapped:
+        # sum_j g[..i+j..] h[..i-j..] with indices moving oppositely:
+        # a convolution, read at position 2(pad+i) - rho.
+        idx = (2 * (pad + np.arange(d)) - rho) % n_fft
+    else:
+        idx = (2 * np.arange(d) - (d - 1)) % n_fft
+    C = jnp.fft.ifft(spec)
+    return jnp.take(C.real, jnp.asarray(idx)).astype(rdt)
+
+
 def _rotation_kernel_row(qs, theta: float, q_m):
     """One row of the ops/interp.rotation kernel at (possibly traced) output
     coordinate ``q_m``, including the dq measure: applying it along an axis
@@ -303,6 +384,7 @@ def _rotation_kernel_row(qs, theta: float, q_m):
 
 def fused_pair_measure2(tensors, m: int, qs, a1, a2, key, *,
                         bs_angle: float = np.pi / 4, force=None,
+                        gram: bool | None = None,
                         diagnostics: bool = False):
     """BS(m, m+1) followed by homodynes on BOTH pair modes, SVD-free.
 
@@ -393,34 +475,47 @@ def fused_pair_measure2(tensors, m: int, qs, a1, a2, key, *,
             raise ValueError("fused pair measure with a1 != 0 needs a "
                              "symmetric grid")
 
+    if gram is None:
+        gram = _PAIR_GRAM_DEFAULT
+    use_gram = (gram and abs(cth - sth) < 1e-12
+                and np.allclose(qs_np + qs_np[::-1], 0.0, atol=1e-9))
+
     if swapped:
         # -- order-swapped fast path: scan the unrotated SECOND mode --------
         SC, freqsC = _make_tab(cth)   # t1 lines as functions of x (stretch c)
         SSn, freqsS = _make_tab(sth)  # t2 lines as functions of x (stretch -s)
-        f1eC = _tab(lines1e, SC)
-        f2eS = _tab(lines2e, SSn)
+        if use_gram:
+            p1_raw = _gram_corr_p1(lines1e, lines2e, qs_np, pad, a, k, c,
+                                   swapped=True, rdt=rdt)
+        else:
+            f1eC = _tab(lines1e, SC)
+            f2eS = _tab(lines2e, SSn)
 
-        def pj_body(y, acc):
-            W1 = _row(f1eC, freqsC, sth * qs[y], (a, k))             # t1e(c q_x + s q_y)
-            W2 = _row(f2eS, freqsS, cth * qs[y], (k, c), flip=True)  # t2e(-s q_x + c q_y)
-            Ay = jnp.einsum("xak,xkc->xac", W1, W2, precision=PRECISION)
-            return acc.at[y].set(jnp.sum(jnp.abs(Ay) ** 2))
+            def pj_body(y, acc):
+                W1 = _row(f1eC, freqsC, sth * qs[y], (a, k))             # t1e(c q_x + s q_y)
+                W2 = _row(f2eS, freqsS, cth * qs[y], (k, c), flip=True)  # t2e(-s q_x + c q_y)
+                Ay = jnp.einsum("xak,xkc->xac", W1, W2, precision=PRECISION)
+                return acc.at[y].set(jnp.sum(jnp.abs(Ay) ** 2))
 
-        p1_raw = jax.lax.fori_loop(0, d, pj_body, jnp.zeros((d,), rdt))
+            p1_raw = jax.lax.fori_loop(0, d, pj_body, jnp.zeros((d,), rdt))
     elif a1 == 0.0:
         # -- fast path: scan the measured mode's grid rows directly --------
         SG, freqsG = _make_tab(sth)   # t1 lines as functions of j (stretch s)
         SH, freqsH = _make_tab(cth)   # t2 lines as functions of j (stretch c)
-        f1e = _tab(lines1e, SG)
-        f2e = _tab(lines2e, SH)
+        if use_gram:
+            p1_raw = _gram_corr_p1(lines1e, lines2e, qs_np, pad, a, k, c,
+                                   swapped=False, rdt=rdt)
+        else:
+            f1e = _tab(lines1e, SG)
+            f2e = _tab(lines2e, SH)
 
-        def p1_body(i, acc):
-            W1 = _row(f1e, freqsG, cth * qs[i], (a, k))      # (d_j, a, k)
-            W2 = _row(f2e, freqsH, -sth * qs[i], (k, c))     # (d_j, k, c)
-            C = jnp.einsum("jak,jkc->jac", W1, W2, precision=PRECISION)
-            return acc.at[i].set(jnp.sum(jnp.abs(C) ** 2))
+            def p1_body(i, acc):
+                W1 = _row(f1e, freqsG, cth * qs[i], (a, k))      # (d_j, a, k)
+                W2 = _row(f2e, freqsH, -sth * qs[i], (k, c))     # (d_j, k, c)
+                C = jnp.einsum("jak,jkc->jac", W1, W2, precision=PRECISION)
+                return acc.at[i].set(jnp.sum(jnp.abs(C) ** 2))
 
-        p1_raw = jax.lax.fori_loop(0, d, p1_body, jnp.zeros((d,), rdt))
+            p1_raw = jax.lax.fori_loop(0, d, p1_body, jnp.zeros((d,), rdt))
     else:
         # -- exact-kernel path: apply the frFT kernel along virtual x-lines
         if not np.allclose(qs_np + qs_np[::-1], 0.0, atol=1e-9):

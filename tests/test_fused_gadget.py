@@ -190,6 +190,72 @@ def test_fused_pair_matches_eager_exact(m, a1, a2):
     np.testing.assert_allclose(v_f, v_e, atol=5e-4 * np.abs(v_e).max())
 
 
+@pytest.mark.parametrize("grid_n", [160, 161])  # both parity classes of d-1
+@pytest.mark.parametrize("m,a1,a2", [
+    (1, 0.0, float(np.arctan(2))),   # a1 = 0 fast path
+    (1, -np.pi / 2, 0.0),            # order-swapped path
+])
+def test_fused_pair_gram_matches_loop(grid_n, m, a1, a2):
+    """The Gram-factorised correlation p1 pass (QCT_FUSED_PAIR_GRAM) is
+    mathematically identical to the per-column loop — same distributions,
+    probabilities and collapsed chain to FFT roundoff."""
+    global QS
+    qs_save = QS
+    QS = np.linspace(-10.0, 10.0, grid_n)
+    try:
+        tensors = _four_mode_chain()
+        swapped = a1 != 0.0 and abs(a2) < 1e-12
+
+        def loop(force):
+            return fused_pair_measure2(list(tensors), m, QS, a1, a2, KEY,
+                                       force=force, gram=False,
+                                       diagnostics=True)
+
+        # walk the loop path's distributions to a well-supported outcome pair
+        d0 = loop((0, 0))[3]
+        s1 = int(np.argmax(np.asarray(d0["rho1"])))
+        d1 = loop((0, s1) if swapped else (s1, 0))[3]
+        s2 = int(np.argmax(np.asarray(d1["rho2"])))
+        force = (s2, s1) if swapped else (s1, s2)
+
+        out_l, m1_l, m2_l, dg_l = loop(force)
+        out_g, m1_g, m2_g, dg_g = fused_pair_measure2(
+            list(tensors), m, QS, a1, a2, KEY, force=force, gram=True,
+            diagnostics=True)
+
+        assert float(m1_g) == float(m1_l) and float(m2_g) == float(m2_l)
+        scale = float(np.max(np.asarray(dg_l["rho1"])))
+        np.testing.assert_allclose(np.asarray(dg_g["rho1"]) / scale,
+                                   np.asarray(dg_l["rho1"]) / scale,
+                                   atol=1e-7)
+        np.testing.assert_allclose(float(dg_g["p1"]), float(dg_l["p1"]),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(dg_g["rho2"]),
+                                   np.asarray(dg_l["rho2"]), rtol=1e-6,
+                                   atol=1e-10 * float(np.max(np.asarray(dg_l["rho2"]))))
+        for tg, tl in zip(out_g, out_l):
+            np.testing.assert_allclose(np.asarray(tg), np.asarray(tl),
+                                       atol=1e-7 * max(1.0, float(np.max(np.abs(np.asarray(tl))))))
+    finally:
+        QS = qs_save
+
+
+def test_fused_pair_gram_fallback_paths():
+    """Non-45-degree BS and asymmetric grids must fall back to the loop (the
+    correlation identity needs s == c and a lattice-symmetric grid)."""
+    tensors = _four_mode_chain()
+    # non-45 BS: gram=True must still give the loop result (fallback inside)
+    out_g, m1g, m2g = fused_pair_measure2(
+        list(tensors), 1, QS, 0.0, 0.3, KEY, bs_angle=np.pi / 3,
+        force=(70, 90), gram=True)
+    out_l, m1l, m2l = fused_pair_measure2(
+        list(tensors), 1, QS, 0.0, 0.3, KEY, bs_angle=np.pi / 3,
+        force=(70, 90), gram=False)
+    assert float(m1g) == float(m1l) and float(m2g) == float(m2l)
+    for tg, tl in zip(out_g, out_l):
+        np.testing.assert_allclose(np.asarray(tg), np.asarray(tl), atol=1e-12)
+
+
 def test_fused_engine_two_qubit_vs_dv():
     """Batched engine with fused pair measures matches DV on a CZ circuit."""
     from quantum_computations_tpu.dv import Simulator as DVSimulator, State as DVState, gates as dvg, qop
