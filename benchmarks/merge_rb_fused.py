@@ -92,6 +92,29 @@ def main():
     spt = [m.get("sec_per_traj") for m in fused_meta if m.get("sec_per_traj")]
     report["fused_sec_per_traj"] = spt
     report["engines"] = [m.get("engine") for m in fused_meta][:1]
+
+    # fused-default Grover cell ({0,4} @ 12.5 dB, queue17 grover-04-fused)
+    gpath = os.path.join(B, "gkp_grover_fused_04.dat")
+    if os.path.exists(gpath):
+        sys.path.insert(0, B)
+        from merge_grover_tpu import successes
+        try:
+            grows = json.load(open(gpath))
+        except (json.JSONDecodeError, OSError):
+            grows = []
+        if grows:
+            by = successes(grows, (0, 4))
+            (eps, vals), = by.items()
+            v = np.asarray(vals)
+            m, se = float(v.mean()), float(v.std(ddof=1) / np.sqrt(len(v)))
+            ref_m, ref_se = 0.9537, 0.0141  # gkp_grover_04.dat @ eps, n=40
+            spl_m, spl_se = 0.9571, 0.0159  # our split engine, n=60
+            report["grover_04_fused"] = {
+                "epsilon": eps, "mean": round(m, 4), "se": round(se, 4),
+                "n": len(v),
+                "z_vs_ref": round((m - ref_m) / np.hypot(se, ref_se), 2),
+                "z_vs_split": round((m - spl_m) / np.hypot(se, spl_se), 2),
+            }
     out = os.path.join(B, "gkp_rb_fused_summary.json")
     json.dump(report, open(out, "w"), indent=1)
     print(json.dumps(report, indent=1))
