@@ -37,7 +37,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 CHI = int(os.environ.get("QCT_ROOF_CHI", 100))
 D = int(os.environ.get("QCT_ROOF_GRID", 1000))
-BATCH = int(os.environ.get("QCT_ROOF_BATCH", 16))
+# Batch 8 (not the production 16): the synthetic full-rank (chi,d,chi)
+# split program's XLA temp plan needs ~18 GB HBM at batch 16 (compile-time
+# OOM on the 15.75 GB chip — queue21 pass 1). Production trajectories fit
+# because adaptive ranks keep most splits below full rank; the roofline's
+# per-trajectory FLOPs/bytes are batch-scaled, so batch 8 measures the same
+# per-split intensity. Matches profile_rb.py's batch-8 attribution.
+BATCH = int(os.environ.get("QCT_ROOF_BATCH", 8))
 Q = int(os.environ.get("QCT_STREAM_POWER_ITERS", "2") or 2)
 REPS = int(os.environ.get("QCT_ROOF_REPS", 3))
 PEAK_BF16 = float(os.environ.get("QCT_PEAK_BF16_TF", 197.0)) * 1e12
@@ -159,6 +165,7 @@ def main():
 
     t0 = time.perf_counter()
     for r in range(REPS):
+        del X, Qm, Gr  # free the previous call's factors before re-running
         X, Qm, Gr = iterate(t1, t2, qs, keys)
         _ = np.asarray(Gr)
     dt = (time.perf_counter() - t0) / REPS
