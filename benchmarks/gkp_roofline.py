@@ -117,20 +117,26 @@ def main():
     fl = split_flops(a, d, k, b, l, Q)
     by = split_bytes(a, d, k, b, l, Q)
 
-    # --- calib: measured HBM copy bandwidth (like statevector_bench) -----
+    # --- calib: measured HBM copy bandwidth (statevector_bench method:
+    # an 8-pass elementwise chain fused inside ONE jit on random data, with
+    # a scalar reduction fetched to host so execution cannot be elided.
+    # The previous version chained separate dispatches over a zeros buffer
+    # and read 15.8 TB/s — pure dispatch pipelining, not HBM.) -------------
     n_cal = 1 << 27  # 512 MB fp32
 
     @jax.jit
-    def copy_pass(x):
-        return x * 1.0000001
+    def copy_chain(seed):
+        v = jax.random.normal(jax.random.PRNGKey(seed), (n_cal,),
+                              dtype=jnp.float32)
+        for _ in range(8):
+            v = v * 1.0000001 + 0.0
+        return jnp.sum(v[:128])
 
-    x = jax.jit(lambda: jnp.zeros((n_cal,), jnp.float32))()
-    copy_pass(x).block_until_ready()
+    float(copy_chain(0))
     t0 = time.perf_counter()
-    for _ in range(5):
-        x = copy_pass(x)
-    x.block_until_ready()
-    cal_dt = (time.perf_counter() - t0) / 5
+    for r in range(3):
+        float(copy_chain(r + 1))
+    cal_dt = (time.perf_counter() - t0) / (3 * 8)
     hbm_gbps = 2 * 4 * n_cal / cal_dt / 1e9
     print(json.dumps({"metric": "hbm_achieved", "achieved_GBps":
                       round(hbm_gbps, 1)}), flush=True)

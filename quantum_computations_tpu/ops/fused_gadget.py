@@ -140,7 +140,8 @@ def _shift_eval(lines_f: jax.Array, freqs: jax.Array, deltas: jax.Array) -> jax.
 
 def fused_single_gadget(tensors, idx: int, qs, bell, a1, a2, key, *,
                         bs_angle: float = np.pi / 4, force=None,
-                        line_chunk: int = 1024, diagnostics: bool = False):
+                        line_chunk: int = 1024, diagnostics: bool = False,
+                        _stage: str | None = None):
     """Execute one single-mode MB gadget without any SVD.
 
     tensors: list of (l, d, r) chain tensors; ``tensors[idx]`` is the input
@@ -206,6 +207,8 @@ def fused_single_gadget(tensors, idx: int, qs, bell, a1, a2, key, *,
 
     G = jax.lax.fori_loop(0, n_chunks, g_body, jnp.zeros((MG,), t1.real.dtype))
     H = jnp.sum(jnp.abs(jnp.matmul(S2H, b1d, precision=PRECISION)) ** 2, axis=1)
+    if _stage == "tab":  # profiling cut: everything through the G/H tabulation
+        return G, H
 
     # p1(i) = dq^(L-1) * sum_j G(c q_i + s q_j) H(-s q_i + c q_j):
     # Fourier-shift G by c*q_i (resp. H by -s*q_i) and read the strided core.
@@ -224,6 +227,8 @@ def fused_single_gadget(tensors, idx: int, qs, bell, a1, a2, key, *,
         return jax.lax.dynamic_update_slice_in_dim(acc, vals, t * ic, axis=0)
 
     p1_raw = jax.lax.fori_loop(0, d // ic, p1_body, jnp.zeros((d,), t1.real.dtype))
+    if _stage == "p1":  # profiling cut: through the first-homodyne distribution
+        return p1_raw
     rho1 = jnp.clip(p1_raw, 0.0, None) * dq ** (L0 + 1)
     dist1 = rho1 * dq
     if force is not None:
@@ -260,6 +265,8 @@ def fused_single_gadget(tensors, idx: int, qs, bell, a1, a2, key, *,
     p1_safe = jnp.maximum(p1v, tiny)
     B = (B1[:, :, :, None] * brow[None, :, None, :]) / jnp.sqrt(p1_safe).astype(cdt)
     B = B.reshape(a, d, 2 * k)  # composite right bond (k major, s minor)
+    if _stage == "collapse":  # profiling cut: through the conditional tensor
+        return B
 
     # Second homodyne: the commuted trailing R2(+a1) and the measurement
     # pre-rotation R2(-a2) compose to a single net rotation by (a1 - a2).
@@ -385,7 +392,8 @@ def _rotation_kernel_row(qs, theta: float, q_m):
 def fused_pair_measure2(tensors, m: int, qs, a1, a2, key, *,
                         bs_angle: float = np.pi / 4, force=None,
                         gram: bool | None = None,
-                        diagnostics: bool = False):
+                        diagnostics: bool = False,
+                        _stage: str | None = None):
     """BS(m, m+1) followed by homodynes on BOTH pair modes, SVD-free.
 
     The generic companion of :func:`fused_single_gadget` for the macronode
@@ -535,6 +543,8 @@ def fused_pair_measure2(tensors, m: int, qs, a1, a2, key, *,
 
         p1_raw = jax.lax.fori_loop(0, d, p1_body, jnp.zeros((d,), rdt))
 
+    if _stage == "p1":  # profiling cut: through the first distribution
+        return p1_raw
     # `force` is ALWAYS (mode-1 grid index, mode-2 grid index); in swapped
     # order the second mode is sampled first.
     rho1 = jnp.clip(p1_raw, 0.0, None) * dq ** (L0 - 1)
@@ -575,6 +585,8 @@ def fused_pair_measure2(tensors, m: int, qs, a1, a2, key, *,
         B = jax.lax.fori_loop(0, d, c_body, jnp.zeros((a, d, c), cdt))
 
     B = B / jnp.sqrt(jnp.maximum(p1v, tiny)).astype(cdt)
+    if _stage == "collapse":  # profiling cut: through the conditional tensor
+        return B
 
     # Second measurement: the remaining mode is mode 1 (angle a1) in swapped
     # order, mode 2 (angle a2, possibly traced) otherwise.
