@@ -167,24 +167,34 @@ def run_tpu_production() -> float:
             e._cache = rs[0]._cache  # share the executor cache
         return rs
 
-    try:
-        runners = make_streams()
-        runner = runners[0]
-        value = measure(runner, runners if THREADS > 1 else ())
-        _CONFIG_USED.update(fused_single=runner.fused_single,
-                            fused_pair=runner.fused_pair)
-        if THREADS > 1:
-            _CONFIG_USED.update(bench_threads=THREADS)
-        return value
-    except Exception as exc:
-        print(f"# fused-engine bench failed ({exc!r}); "
-              "falling back to the split-op engine", file=sys.stderr)
-        runners = make_streams(fused_single=False, fused_pair=False)
-        runner = runners[0]
-        value = measure(runner, runners if THREADS > 1 else ())
-        _CONFIG_USED.update(fused_single=False, fused_pair=False,
-                            fused_fallback=True)
-        return value
+    # Transient tunnel errors (remote_compile connection drops) abort a
+    # fresh-program run; retry the fused engine a few times before falling
+    # back so an A/B step never silently measures the wrong engine.
+    retries = int(os.environ.get("QCT_BENCH_RETRIES", 3))
+    exc = None
+    for attempt in range(retries):
+        try:
+            runners = make_streams()
+            runner = runners[0]
+            value = measure(runner, runners if THREADS > 1 else ())
+            _CONFIG_USED.update(fused_single=runner.fused_single,
+                                fused_pair=runner.fused_pair)
+            if THREADS > 1:
+                _CONFIG_USED.update(bench_threads=THREADS)
+            return value
+        except Exception as e:
+            exc = e
+            print(f"# fused-engine bench attempt {attempt + 1}/{retries} "
+                  f"failed ({e!r}); retrying in 60s", file=sys.stderr)
+            time.sleep(60)
+    print(f"# fused-engine bench failed ({exc!r}); "
+          "falling back to the split-op engine", file=sys.stderr)
+    runners = make_streams(fused_single=False, fused_pair=False)
+    runner = runners[0]
+    value = measure(runner, runners if THREADS > 1 else ())
+    _CONFIG_USED.update(fused_single=False, fused_pair=False,
+                        fused_fallback=True)
+    return value
 
 
 def run_baseline_production_inline(n_traj: int = 1) -> float:
