@@ -61,7 +61,13 @@ def main():
         if not paths:
             report["oracles"].append({"oracle": ref_name, "status": "missing"})
             continue
-        rows = [row for p in paths for row in json.load(open(p))]
+        rows = []
+        for p in paths:
+            try:
+                rows.extend(json.load(open(p)))
+            except json.JSONDecodeError:
+                print(f"# skipping unreadable (in-flight?) dataset {p}",
+                      file=sys.stderr)
         ours = successes(rows, tagged)
         ref = successes(json.load(open(os.path.join(REF_DIR, ref_name))), tagged)
         meta = [m for p in paths if os.path.exists(p + ".meta.json")
@@ -111,6 +117,53 @@ def main():
     print(json.dumps(report, indent=1))
     json.dump(report, open(os.path.join(B, "gkp_grover_tpu_summary.json"), "w"),
               indent=1)
+    if "--plot" in sys.argv:
+        _plot(report)
+
+
+def _plot(report):
+    """Success-vs-dB curve figure (reference plot_data.ipynb cell 12): our
+    per-dB means with 2 SE bars, the reference's at the same dBs, and the
+    analytic Walshe-style estimate curve; asymptotes 13/28 and 2/8."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from quantum_computations_tpu.pipelines.analysis import (
+        grover_error_estimate)
+
+    fig, axes = plt.subplots(1, 3, figsize=(15, 4), sharey=True)
+    for ax, entry in zip(axes, report["oracles"]):
+        curve = entry.get("curve")
+        if not curve:
+            continue
+        dbs = sorted(float(db) for db in curve)
+        ax.axhline(13 / 28, color="0", lw=0.8)
+        ax.axhline(2 / 8, color="0", ls="--", lw=0.8)
+        xs = np.linspace(min(dbs) - 0.5, max(dbs) + 0.5, 100)
+        ax.plot(xs, [grover_error_estimate(x) for x in xs], "k-",
+                alpha=0.4, label="RB estimate")
+        ours_m = [curve[str(db)]["mean"] for db in dbs]
+        ours_e = [curve[str(db)]["err_2se"] for db in dbs]
+        ax.errorbar(dbs, ours_m, ours_e, fmt=".-", color="C0", capsize=4,
+                    label="TPU (2 SE)")
+        ref_pts = [(db, curve[str(db)]["ref"]) for db in dbs
+                   if curve[str(db)].get("ref")]
+        if ref_pts:
+            ax.errorbar([p[0] for p in ref_pts],
+                        [p[1]["mean"] for p in ref_pts],
+                        [p[1]["err_2se"] for p in ref_pts], fmt="x",
+                        color="C3", capsize=4, label="reference (2 SE)")
+        ax.set_xlabel("GKP squeezing (dB)")
+        ax.set_title(entry["oracle"].replace(".dat", ""))
+        ax.set_ylim(-0.05, 1.05)
+        ax.grid(alpha=0.3)
+    axes[0].set_ylabel("Success probability")
+    axes[0].legend(loc="lower right", fontsize=8)
+    fig.tight_layout()
+    out = os.path.join(B, "gkp_grover_curves.png")
+    fig.savefig(out, dpi=120)
+    print(f"# wrote {out}")
 
 
 if __name__ == "__main__":
