@@ -107,7 +107,48 @@ def main():
     json.dump(report, open(os.path.join(B, "gkp_rb_tpu_summary.json"), "w"),
               indent=1)
     print(json.dumps(report, indent=1))
+    if "--plot" in sys.argv:
+        _plot(ours, ref, fit)
     return 0
+
+
+def _plot(ours, ref, fit):
+    """Decay-curve figure (reference plot_data.ipynb cell 7): per-dB cell
+    means with 2 SE bars (ours solid, reference open markers) and the fitted
+    ``a p^m + 1/4`` decay lines."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    dbs = sorted({k[0] for k in ours})
+    cmap = plt.cm.viridis
+    fig, ax = plt.subplots(figsize=(9, 5))
+    xs = np.linspace(0, 62, 100)
+    for i, db in enumerate(dbs):
+        c = cmap(i / max(1, len(dbs) - 1))
+        depths = sorted(k[1] for k in ours if k[0] == db)
+        means = [ours[(db, m)][0] for m in depths]
+        errs = [2 * ours[(db, m)][1] for m in depths]
+        ax.errorbar(depths, means, errs, fmt="o", ms=4, capsize=3, color=c,
+                    label=f"{db} dB (TPU)")
+        rd = sorted((k[1], ref[k]) for k in ref if k[0] == db)
+        if rd:
+            ax.errorbar([m for m, _ in rd], [v[0] for _, v in rd],
+                        [2 * v[1] for _, v in rd], fmt="s", ms=5, mfc="none",
+                        capsize=3, color=c, alpha=0.6)
+        if db in fit:
+            ax.plot(xs, fit[db]["a"] * fit[db]["p"] ** xs + 0.25, "-",
+                    color=c, lw=1, alpha=0.8)
+    ax.axhline(0.25, color="0", ls="--", lw=0.8)
+    ax.set_xlabel("Circuit depth")
+    ax.set_ylabel("Average output fidelity")
+    ax.set_xlim(0, 65)
+    ax.grid(alpha=0.3)
+    ax.legend(fontsize=7, ncol=2, title="filled = TPU, open = reference")
+    fig.tight_layout()
+    out = os.path.join(B, "gkp_rb_decay_curves.png")
+    fig.savefig(out, dpi=120)
+    print(f"# wrote {out}")
 
 
 if __name__ == "__main__":
