@@ -112,18 +112,22 @@ def main():
     keys = jax.random.split(jax.random.PRNGKey(0), BATCH)
 
     # ---- fused_pair paths -------------------------------------------------
+    import jax.lax as lax
     pair_cases = [
-        ("pair_a1zero", 0.0, np.pi / 4, None),
-        ("pair_a1zero_gram", 0.0, np.pi / 4, True),
-        ("pair_swapped", np.pi / 4, 0.0, None),
-        ("pair_swapped_gram", np.pi / 4, 0.0, True),
-        ("pair_exact", np.pi / 3, np.pi / 4, None),
+        ("pair_a1zero", 0.0, np.pi / 4, False, None),
+        ("pair_a1zero_gram", 0.0, np.pi / 4, True, None),
+        ("pair_a1zero_p1high", 0.0, np.pi / 4, False, lax.Precision.HIGH),
+        ("pair_swapped", np.pi / 4, 0.0, False, None),
+        ("pair_swapped_gram", np.pi / 4, 0.0, True, None),
+        ("pair_exact", np.pi / 3, np.pi / 4, False, None),
+        ("pair_exact_p1high", np.pi / 3, np.pi / 4, False,
+         lax.Precision.HIGH),
     ]
-    for name, a1, a2, gram in pair_cases:
-        gram_kw = {} if gram is None else {"gram": gram}
-        if gram is None:
-            gram_kw = {"gram": False}
-        for stage in ("p1", "collapse", "full"):
+    for name, a1, a2, gram, prec in pair_cases:
+        gram_kw = {"gram": gram, "p1_precision": prec}
+        stages = ("p1", "full") if name.endswith("p1high") \
+            else ("p1", "collapse", "full")
+        for stage in stages:
             def body(tt, key, _a1=a1, _a2=a2, _st=stage, _g=gram_kw):
                 st = None if _st == "full" else _st
                 out = fg.fused_pair_measure2(list(tt), 1, qs, _a1, _a2, key,
@@ -168,7 +172,8 @@ def main():
     # per trajectory 8 * d^2 * chi^3 real FLOPs (the per-row einsum).
     p1_flops = 8.0 * d * d * chi ** 3 * BATCH
     summary = {"metric": "fused_profile_summary", "stages_s": by}
-    for nm in ("pair_a1zero", "pair_swapped", "pair_exact"):
+    for nm in ("pair_a1zero", "pair_swapped", "pair_exact",
+               "pair_a1zero_p1high", "pair_exact_p1high"):
         key = f"{nm}:p1"
         if key in by and by[key] > 0:
             summary[f"{nm}_p1_achieved_TFLOPs"] = round(

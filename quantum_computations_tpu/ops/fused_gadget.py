@@ -77,6 +77,19 @@ __all__ = ["fused_single_gadget", "fused_pair_measure2"]
 # (the production gadget); other configurations fall back to the loop.
 _PAIR_GRAM_DEFAULT = os.environ.get("QCT_FUSED_PAIR_GRAM", "0") == "1"
 
+# MXU precision of the fused pair-measure's FIRST-DISTRIBUTION einsums (the
+# per-row xak,xkc->xac passes — the dominant d^2 chi^3 term of the a1zero/
+# swapped/exact loops). p1 only feeds outcome SAMPLING and the collapse
+# normalisation p1v, never the collapsed state itself, so bf16x3 ("high",
+# ~1e-6 relative on these contraction depths, ~2x the MXU rate of the
+# 6-pass "highest") is a candidate default pending the on-chip A/B; the
+# collapse/second-measurement contractions always stay at config.PRECISION.
+_P1_PRECISION = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+}[os.environ.get("QCT_FUSED_P1_PREC", "highest").lower()]
+
 
 def _psd_sqrt(G: jax.Array) -> jax.Array:
     """Hermitian PSD square root via the matmul-only Newton-Schulz inverse
@@ -393,7 +406,8 @@ def fused_pair_measure2(tensors, m: int, qs, a1, a2, key, *,
                         bs_angle: float = np.pi / 4, force=None,
                         gram: bool | None = None,
                         diagnostics: bool = False,
-                        _stage: str | None = None):
+                        _stage: str | None = None,
+                        p1_precision=None):
     """BS(m, m+1) followed by homodynes on BOTH pair modes, SVD-free.
 
     The generic companion of :func:`fused_single_gadget` for the macronode
@@ -442,6 +456,8 @@ def fused_pair_measure2(tensors, m: int, qs, a1, a2, key, *,
     rdt = t1.real.dtype
     tiny = jnp.finfo(rdt).tiny
     a1 = float(a1)
+    if p1_precision is None:
+        p1_precision = _P1_PRECISION
     k1, k2 = jax.random.split(key)
 
     S_L = _psd_sqrt(_left_env(tensors[:m]))              # (a, a)
@@ -502,7 +518,8 @@ def fused_pair_measure2(tensors, m: int, qs, a1, a2, key, *,
             def pj_body(y, acc):
                 W1 = _row(f1eC, freqsC, sth * qs[y], (a, k))             # t1e(c q_x + s q_y)
                 W2 = _row(f2eS, freqsS, cth * qs[y], (k, c), flip=True)  # t2e(-s q_x + c q_y)
-                Ay = jnp.einsum("xak,xkc->xac", W1, W2, precision=PRECISION)
+                Ay = jnp.einsum("xak,xkc->xac", W1, W2,
+                                precision=p1_precision)
                 return acc.at[y].set(jnp.sum(jnp.abs(Ay) ** 2))
 
             p1_raw = jax.lax.fori_loop(0, d, pj_body, jnp.zeros((d,), rdt))
@@ -520,7 +537,8 @@ def fused_pair_measure2(tensors, m: int, qs, a1, a2, key, *,
             def p1_body(i, acc):
                 W1 = _row(f1e, freqsG, cth * qs[i], (a, k))      # (d_j, a, k)
                 W2 = _row(f2e, freqsH, -sth * qs[i], (k, c))     # (d_j, k, c)
-                C = jnp.einsum("jak,jkc->jac", W1, W2, precision=PRECISION)
+                C = jnp.einsum("jak,jkc->jac", W1, W2,
+                               precision=p1_precision)
                 return acc.at[i].set(jnp.sum(jnp.abs(C) ** 2))
 
             p1_raw = jax.lax.fori_loop(0, d, p1_body, jnp.zeros((d,), rdt))
@@ -537,7 +555,8 @@ def fused_pair_measure2(tensors, m: int, qs, a1, a2, key, *,
         def p1_body(y, acc):
             W1 = _row(f1eC, freqsC, sth * qs[y], (a, k))            # t1e(c q_x + s q_y)
             W2 = _row(f2eS, freqsS, cth * qs[y], (k, c), flip=True)  # t2e(-s q_x + c q_y)
-            Ay = jnp.einsum("xak,xkc->xac", W1, W2, precision=PRECISION)
+            Ay = jnp.einsum("xak,xkc->xac", W1, W2,
+                            precision=p1_precision)
             phi = rotation(qs, Ay, -a1, axis=0)                      # (d_m, a, c)
             return acc + jnp.sum(jnp.abs(phi) ** 2, axis=(1, 2))
 
