@@ -75,7 +75,10 @@ __all__ = ["fused_single_gadget", "fused_pair_measure2"]
 # distribution (the d x (d chi^3) einsum pass) — see _gram_corr_p1. Applies
 # to the a1==0 and order-swapped paths at bs_angle=pi/4 on a symmetric grid
 # (the production gadget); other configurations fall back to the loop.
-_PAIR_GRAM_DEFAULT = os.environ.get("QCT_FUSED_PAIR_GRAM", "0") == "1"
+# Default ON since the round-4 on-chip A/B (exact to FFT roundoff — CPU
+# parity pinned in tests/test_fused_gadget.py; production RB workload
+# 0.3269 -> 0.4059 traj/s, benchmarks/logs/bench-gram.log).
+_PAIR_GRAM_DEFAULT = os.environ.get("QCT_FUSED_PAIR_GRAM", "1") == "1"
 
 # MXU precision of the fused pair-measure's FIRST-DISTRIBUTION einsums (the
 # per-row xak,xkc->xac passes — the dominant d^2 chi^3 term of the a1zero/
