@@ -13,14 +13,18 @@ Prints one JSON line per path with rho1/p1/p2/state errors vs eager.
 """
 
 import json
+import os
 import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 import numpy as np
 import jax
-import jax.numpy as jnp
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
 
 sys.path.insert(0, ".")
-jax.config.update("jax_enable_x64", True)
 
 from tests.test_fused_gadget import (QS, KEY, _four_mode_chain, _eager_pair,
                                      _dense)
