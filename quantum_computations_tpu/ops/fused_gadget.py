@@ -93,6 +93,19 @@ _P1_PRECISION = {
     "default": jax.lax.Precision.DEFAULT,
 }[os.environ.get("QCT_FUSED_P1_PREC", "highest").lower()]
 
+# Rewrite the exact-kernel pair path (both homodyne angles nonzero) into the
+# Gram-eligible a1==0 path by the BS/rotation commute identity: a beamsplitter
+# commutes with equal phase-space rotations on both arms, so homodyning the
+# first BS output at angle a1 equals pre-rotating BOTH factor tensors by -a1,
+# measuring position first, and measuring the second mode at net angle
+# a2 - a1 (the commuted trailing R2(+a1) folds into the second homodyne).
+# The two forms are both discretisations of the same continuum measurement;
+# they differ by the commutator of the discretised frFT kernel with the
+# band-limited line interpolation (adjudicated vs the eager exact-SVD ground
+# truth by benchmarks/prerot_accuracy.py). OFF by default until the accuracy
+# study approves the rewrite.
+_PAIR_PREROT_DEFAULT = os.environ.get("QCT_FUSED_EXACT_PREROT", "0") == "1"
+
 
 def _psd_sqrt(G: jax.Array) -> jax.Array:
     """Hermitian PSD square root via the matmul-only Newton-Schulz inverse
@@ -408,6 +421,7 @@ def _rotation_kernel_row(qs, theta: float, q_m):
 def fused_pair_measure2(tensors, m: int, qs, a1, a2, key, *,
                         bs_angle: float = np.pi / 4, force=None,
                         gram: bool | None = None,
+                        prerot: bool | None = None,
                         diagnostics: bool = False,
                         _stage: str | None = None,
                         p1_precision=None):
@@ -461,6 +475,21 @@ def fused_pair_measure2(tensors, m: int, qs, a1, a2, key, *,
     a1 = float(a1)
     if p1_precision is None:
         p1_precision = _P1_PRECISION
+    if prerot is None:
+        prerot = _PAIR_PREROT_DEFAULT
+    _static2 = not isinstance(a2, jax.core.Tracer)
+    if (prerot and a1 != 0.0
+            and not (_static2 and abs(float(a2)) < 1e-12)):
+        # Both angles nonzero (the exact-kernel configuration): commute the
+        # first homodyne's rotation through the BS so the measure runs on the
+        # Gram-eligible a1 == 0 path. See _PAIR_PREROT_DEFAULT.
+        if not np.allclose(qs_np + qs_np[::-1], 0.0, atol=1e-9):
+            raise ValueError("fused pair measure with a1 != 0 needs a "
+                             "symmetric grid")
+        t1 = rotation(qs, t1, -a1, axis=1)
+        t2 = rotation(qs, t2, -a1, axis=1)
+        a2 = (float(a2) - a1) if _static2 else (a2 - a1)
+        a1 = 0.0
     k1, k2 = jax.random.split(key)
 
     S_L = _psd_sqrt(_left_env(tensors[:m]))              # (a, a)

@@ -365,3 +365,49 @@ def test_fused_engine_single_qubit_vs_dv():
     want = np.asarray(DVSimulator(gates).run([DVState.ZERO]))
     fids = [float(qop.fidelity(jnp.asarray(want), jnp.asarray(r))) for r in rhos]
     assert np.mean(fids) > 0.7, fids
+
+
+@pytest.mark.parametrize("m,a1,a2", [
+    (1, float(np.arctan(2)), -float(np.arctan(2))),   # CZ second pair
+    (1, float(np.pi / 3), float(np.pi / 4)),          # generic angles
+])
+def test_fused_pair_prerot_matches_exact_kernel(m, a1, a2):
+    """QCT_FUSED_EXACT_PREROT rewrites the exact-kernel pair path (both
+    homodyne angles nonzero) into the Gram-eligible a1==0 path by the
+    BS/rotation commute identity. Both are discretisations of the same
+    continuum measurement; the commutator of the discretised frFT kernel
+    with the band-limited line interpolation bounds their difference.
+    Adjudicated vs the eager exact-SVD ground truth in
+    benchmarks/prerot_accuracy_results.jsonl (state overlap deficit
+    <= 2.7e-5, two orders below the production rel_err=1e-2 truncation);
+    this pins the prerot-vs-exact gap as a fast regression test."""
+    tensors = _four_mode_chain()
+
+    out_e = fused_pair_measure2(list(tensors), m, QS, a1, a2, KEY,
+                                force=(0, 0), diagnostics=True, prerot=False)
+    i_f = int(np.argmax(np.asarray(out_e[3]["rho1"])))
+    out_e = fused_pair_measure2(list(tensors), m, QS, a1, a2, KEY,
+                                force=(i_f, 0), diagnostics=True, prerot=False)
+    j_f = int(np.argmax(np.asarray(out_e[3]["rho2"])))
+    out_e = fused_pair_measure2(list(tensors), m, QS, a1, a2, KEY,
+                                force=(i_f, j_f), diagnostics=True,
+                                prerot=False)
+    out_p = fused_pair_measure2(list(tensors), m, QS, a1, a2, KEY,
+                                force=(i_f, j_f), diagnostics=True,
+                                prerot=True)
+
+    te, de = out_e[0], out_e[3]
+    tp, dp = out_p[0], out_p[3]
+    assert not dp["swapped"]  # the rewrite landed on the a1 == 0 path
+    # rotations preserve the position-integral measure: same rho1/p1/p2
+    scale = max(float(np.asarray(de["rho1"]).max()), 1e-30)
+    np.testing.assert_allclose(np.asarray(dp["rho1"]) / scale,
+                               np.asarray(de["rho1"]) / scale, atol=2e-3)
+    assert np.isclose(float(dp["p1"]), float(de["p1"]), rtol=1e-3)
+    assert np.isclose(float(dp["p2"]), float(de["p2"]), rtol=5e-3)
+
+    v_e, v_p = _dense(te), _dense(tp)
+    overlap = np.vdot(v_e, v_p)
+    assert abs(overlap) / (np.linalg.norm(v_e) * np.linalg.norm(v_p)) > 1 - 1e-4
+    v_p = v_p * np.exp(-1j * np.angle(overlap))
+    np.testing.assert_allclose(v_p, v_e, atol=2e-2 * np.abs(v_e).max())
