@@ -398,6 +398,8 @@ def main():
             "bs_decomp": os.environ.get("QCT_BS_DECOMP", "cz"),
             "power_iters": os.environ.get("QCT_STREAM_POWER_ITERS", "2"),
             "rank_track": os.environ.get("QCT_RANK_TRACK", "1"),
+            "pair_gram": os.environ.get("QCT_FUSED_PAIR_GRAM", "1"),
+            "exact_prerot": os.environ.get("QCT_FUSED_EXACT_PREROT", "1"),
             **_CONFIG_USED,
         },
     }

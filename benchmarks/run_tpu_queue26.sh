@@ -32,6 +32,13 @@ step() { # step <name> <timeout_s> <cmd...>
     else
         echo "=== $name: FAILED (rc=$?) — see $LOGS/$name.log"
     fi
+    # Auto-commit whatever the step produced: the round driver restores the
+    # worktree to HEAD at round end, which already destroyed one completed
+    # 20-trajectory dataset (grover-27-p8.333) that was only on disk.
+    git add -A benchmarks/*.dat benchmarks/*.meta.json benchmarks/logs \
+        >/dev/null 2>&1 || true
+    git diff --cached --quiet 2>/dev/null || \
+        git commit -q -m "queue26 artifact checkpoint: $name" || true
 }
 
 grover_point() { # grover_point <oracle-tag like 2,7> <db> <traj> <seed>

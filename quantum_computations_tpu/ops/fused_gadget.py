@@ -102,9 +102,13 @@ _P1_PRECISION = {
 # The two forms are both discretisations of the same continuum measurement;
 # they differ by the commutator of the discretised frFT kernel with the
 # band-limited line interpolation (adjudicated vs the eager exact-SVD ground
-# truth by benchmarks/prerot_accuracy.py). OFF by default until the accuracy
-# study approves the rewrite.
-_PAIR_PREROT_DEFAULT = os.environ.get("QCT_FUSED_EXACT_PREROT", "0") == "1"
+# truth by benchmarks/prerot_accuracy.py — approved,
+# benchmarks/prerot_accuracy_results.jsonl). Default ON since the round-4
+# on-chip speed A/B: production RB workload 0.4059 -> 0.6451 traj/s (89.8x
+# the CPU eager baseline, benchmarks/logs/bench-prerot.log); a production
+# parity anchor cell (10 dB depth-8, rb_prerot_anchor.dat) runs in queue 26.
+# QCT_FUSED_EXACT_PREROT=0 restores the exact-kernel loop path.
+_PAIR_PREROT_DEFAULT = os.environ.get("QCT_FUSED_EXACT_PREROT", "1") == "1"
 
 
 def _psd_sqrt(G: jax.Array) -> jax.Array:
