@@ -32,7 +32,8 @@ from ..cv import gates as cvg
 from ..cv.mps import MPS
 from ..dv import gates as dv_gates
 from ..dv.simulator import ClassicalControl
-from ..ops.fused_gadget import fused_pair_measure2, fused_single_gadget
+from ..ops.fused_gadget import (fused_pair_measure2, fused_single_gadget,
+                                pair_measure_path)
 from ..utils import as_key
 from ..utils.profiling import span
 from .compiled import ARCTAN2, _homodyne, _insert_bell, _syndrome_from, _two_mode_gadget
@@ -340,15 +341,11 @@ class BatchedGKP:
         # fetch (which syncs anyway) instead of a separate full-chain fetch.
         want_rank = self._ranks is not None and p < L0 - 3
         sig = ("fused_pair", m, float(a1), float(a2), shapes, want_rank)
-        # Span label carries the executor's static path choice (mirrors
-        # fused_pair_measure2's dispatch on a1/a2) so on-chip attribution
-        # separates the three very different cost profiles.
-        if float(a1) != 0.0 and abs(float(a2)) < 1e-12:
-            path = "swapped"
-        elif float(a1) == 0.0:
-            path = "a1zero"
-        else:
-            path = "exact"
+        # Span label carries the executor's static path choice (single
+        # source of truth: fused_gadget.pair_measure_path — includes the
+        # prerot reroute) so on-chip attribution separates the very
+        # different cost profiles.
+        path = pair_measure_path(a1, a2)
 
         def body(tt, key):
             new_tensors, m1, m2 = fused_pair_measure2(

@@ -110,6 +110,45 @@ _P1_PRECISION = {
 # QCT_FUSED_EXACT_PREROT=0 restores the exact-kernel loop path.
 _PAIR_PREROT_DEFAULT = os.environ.get("QCT_FUSED_EXACT_PREROT", "1") == "1"
 
+# The prerot rewrite leaves a residual second homodyne at a2 - a1, applied by
+# interp.rotation — singular where sin(theta) = 0. Residuals snapped to zero
+# (|a2 - a1| < 1e-12) skip the rotation entirely and are safe; anything else
+# with |sin(a2 - a1)| below this threshold (tiny-but-nonzero, or near +-pi)
+# falls back to the exact-kernel path, which handles those angles fine.
+_PREROT_SIN_MIN = 1e-6
+
+
+def _prerot_applies(a1: float, a2) -> bool:
+    """True when fused_pair_measure2 reroutes (a1, a2) via the prerot
+    commute identity (given prerot enabled). a2 may be traced."""
+    import math
+    if float(a1) == 0.0:
+        return False
+    if isinstance(a2, jax.core.Tracer):
+        return True  # residual angle unknown at trace time; prerot applies
+    a2 = float(a2)
+    if abs(a2) < 1e-12:
+        return False  # order-swapped fast path
+    resid = a2 - float(a1)
+    return abs(resid) < 1e-12 or abs(math.sin(resid)) >= _PREROT_SIN_MIN
+
+
+def pair_measure_path(a1: float, a2, prerot: bool | None = None) -> str:
+    """Static dispatch of fused_pair_measure2 for (a1, a2): one of
+    'swapped', 'a1zero', 'prerot', 'exact'. Single source of truth for
+    profiling span labels (gkp/batched.py) — keep in sync with the
+    executor's own dispatch below."""
+    if prerot is None:
+        prerot = _PAIR_PREROT_DEFAULT
+    is_tracer = isinstance(a2, jax.core.Tracer)
+    if float(a1) == 0.0:
+        return "a1zero"
+    if not is_tracer and abs(float(a2)) < 1e-12:
+        return "swapped"
+    if prerot and _prerot_applies(a1, a2):
+        return "prerot"
+    return "exact"
+
 
 def _psd_sqrt(G: jax.Array) -> jax.Array:
     """Hermitian PSD square root via the matmul-only Newton-Schulz inverse
@@ -483,7 +522,8 @@ def fused_pair_measure2(tensors, m: int, qs, a1, a2, key, *,
         prerot = _PAIR_PREROT_DEFAULT
     _static2 = not isinstance(a2, jax.core.Tracer)
     if (prerot and a1 != 0.0
-            and not (_static2 and abs(float(a2)) < 1e-12)):
+            and not (_static2 and abs(float(a2)) < 1e-12)
+            and _prerot_applies(a1, a2)):
         # Both angles nonzero (the exact-kernel configuration): commute the
         # first homodyne's rotation through the BS so the measure runs on the
         # Gram-eligible a1 == 0 path. See _PAIR_PREROT_DEFAULT.

@@ -251,6 +251,8 @@ def main(config: RBBatchedConfig | None = None):
                     "stream_eigh": os.environ.get("QCT_STREAM_EIGH", "host"),
                     "power_iters": os.environ.get("QCT_STREAM_POWER_ITERS", "2"),
                     "rank_track": runner._tracking_active,
+                    "pair_gram": os.environ.get("QCT_FUSED_PAIR_GRAM", "1"),
+                    "exact_prerot": os.environ.get("QCT_FUSED_EXACT_PREROT", "1"),
                     "threads": n_threads,
                 },
             })
