@@ -53,7 +53,16 @@ def successes(rows, tagged):
 
 def main():
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
-    report = {"metric": "gkp_grover_tpu_production_dataset", "oracles": []}
+    # High-dB prerot adjudication (adjudicate_prerot_highdb.py): when the
+    # queue-28 A/B finds the prerot rewrite biased at high squeezing, drop
+    # prerot-era samples at db >= 10.8 (provenance: engine.exact_prerot).
+    adj_path = os.path.join(B, "prerot_highdb_adjudication.json")
+    prerot_ok = True
+    if os.path.exists(adj_path):
+        prerot_ok = json.load(open(adj_path)).get("decision_prerot_highdb", 1) == 1
+
+    report = {"metric": "gkp_grover_tpu_production_dataset",
+              "prerot_highdb_ok": prerot_ok, "oracles": []}
     for patterns, (tagged, ref_name) in ORACLES.items():
         paths = sorted(p for pat in patterns
                        for p in glob.glob(os.path.join(B, pat))
@@ -61,17 +70,29 @@ def main():
         if not paths:
             report["oracles"].append({"oracle": ref_name, "status": "missing"})
             continue
-        rows = []
+        rows, meta = [], []
         for p in paths:
             try:
-                rows.extend(json.load(open(p)))
+                frows = json.load(open(p))
             except json.JSONDecodeError:
                 print(f"# skipping unreadable (in-flight?) dataset {p}",
                       file=sys.stderr)
+                continue
+            fmeta = (json.load(open(p + ".meta.json"))
+                     if os.path.exists(p + ".meta.json") else [])
+            if not prerot_ok:
+                tainted = {round(float(m["epsilon"]), 9) for m in fmeta
+                           if float(m.get("db", 0)) >= 10.8
+                           and str(m.get("engine", {}).get("exact_prerot")) == "1"}
+                if tainted:
+                    frows = [r for r in frows
+                             if round(float(r["epsilon"]), 9) not in tainted]
+                    fmeta = [m for m in fmeta
+                             if round(float(m["epsilon"]), 9) not in tainted]
+            rows.extend(frows)
+            meta.extend(fmeta)
         ours = successes(rows, tagged)
         ref = successes(json.load(open(os.path.join(REF_DIR, ref_name))), tagged)
-        meta = [m for p in paths if os.path.exists(p + ".meta.json")
-                for m in json.load(open(p + ".meta.json"))]
         cells = []
         for eps, vals in sorted(ours.items()):
             v = np.asarray(vals)
@@ -90,6 +111,9 @@ def main():
                 "ref_mean": round(float(rv.mean()), 4),
                 "ref_se": round(ref_se, 4), "ref_n": len(rv),
                 "z": round(z, 2),
+                "engines": [{**m.get("engine", {}), "n": m.get("samples")}
+                            for m in meta
+                            if abs(float(m.get("epsilon", -1)) - eps) < 1e-12],
             })
         entry = {"oracle": ref_name, "cells": cells}
         # success-vs-dB curve (reference plot_data.ipynb cell 11-12): our

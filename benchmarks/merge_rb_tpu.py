@@ -55,18 +55,44 @@ def main():
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
     from quantum_computations_tpu.pipelines.analysis import rb_fit
 
-    data, meta = [], []
+    # High-dB prerot adjudication (benchmarks/adjudicate_prerot_highdb.py):
+    # if the queue-28 A/B found the prerot rewrite biased at high squeezing,
+    # exclude the prerot-era rows of the affected cells (db >= 10.8) from the
+    # pooled dataset — exact-path replacement cells land under *_noprerot.dat.
+    adj_path = os.path.join(B, "prerot_highdb_adjudication.json")
+    prerot_ok = True
+    if os.path.exists(adj_path):
+        prerot_ok = json.load(open(adj_path)).get("decision_prerot_highdb", 1) == 1
+
+    data, meta, excluded = [], [], []
     for path in sorted(glob.glob(os.path.join(B, "gkp_rb_tpu_*.dat"))):
         if path.endswith(".meta.json"):
             continue
         try:
-            data += json.load(open(path))
+            rows = json.load(open(path))
         except json.JSONDecodeError:  # in-flight sweep: empty placeholder
             print(f"skipping unreadable {path}", file=sys.stderr)
             continue
         mpath = path + ".meta.json"
-        if os.path.exists(mpath):
-            meta += json.load(open(mpath))
+        fmeta = json.load(open(mpath)) if os.path.exists(mpath) else []
+        if not prerot_ok:
+            tainted = {(round(float(m["db"]), 3), int(m["depth"]))
+                       for m in fmeta
+                       if float(m["db"]) >= 10.8
+                       and str(m.get("engine", {}).get("exact_prerot")) == "1"}
+            if tainted:
+                kept = [r for r in rows
+                        if (round(float(r["db"]), 3), int(r["depth"]))
+                        not in tainted]
+                excluded.append({"file": os.path.basename(path),
+                                 "cells": sorted(map(list, tainted)),
+                                 "rows_dropped": len(rows) - len(kept)})
+                rows = kept
+                fmeta = [m for m in fmeta
+                         if (round(float(m["db"]), 3), int(m["depth"]))
+                         not in tainted]
+        data += rows
+        meta += fmeta
     if not data:
         print("no gkp_rb_tpu_*.dat files yet", file=sys.stderr)
         return 1
@@ -76,10 +102,20 @@ def main():
     ours = cell_stats(data, cluster=batch)
     ref = cell_stats(json.load(open(REF_DAT)))  # one circuit per row: naive SE is right
 
+    # per-cell engine provenance: every distinct engine config that
+    # contributed samples to the cell, with its sample count
+    engines_by_cell = defaultdict(list)
+    for m in meta:
+        key = (round(float(m["db"]), 3), int(m["depth"]))
+        if "engine" in m:
+            engines_by_cell[key].append(
+                {**m["engine"], "n": m.get("samples")})
+
     cells = []
     for key, (mean, se, n) in ours.items():
         row = {"db": key[0], "depth": key[1], "mean": round(mean, 4),
-               "se": round(se, 4), "n": n}
+               "se": round(se, 4), "n": n,
+               "engines": engines_by_cell.get(key, [])}
         if key in ref:
             rmean, rse, rn = ref[key]
             z = (mean - rmean) / max(np.hypot(se, rse), 1e-9)
@@ -101,6 +137,10 @@ def main():
         "within_1se": sum(1 for c in cells if "z" in c and abs(c["z"]) <= 1),
         "within_2se": sum(1 for c in cells if "z" in c and abs(c["z"]) <= 2),
         "compared": sum(1 for c in cells if "z" in c),
+        "ref_cells_total": len(ref),
+        "ref_cells_covered": sum(1 for k in ref if k in ours),
+        "prerot_highdb_ok": prerot_ok,
+        "excluded_prerot_rows": excluded,
         "decay_fit": {str(db): {"a": round(v["a"], 4), "p": round(v["p"], 4)}
                       for db, v in fit.items()},
     }
