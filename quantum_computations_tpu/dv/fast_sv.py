@@ -791,7 +791,19 @@ class FastStatevector:
         return float(f(self.re, self.im))
 
     def probs(self) -> jax.Array:
-        """|amp|^2 vector in LOGICAL qubit order — small/medium N only."""
+        """|amp|^2 vector in LOGICAL qubit order — any layout.
+
+        Identity layouts are free. Permuted layouts at N <= 22 use the
+        rank-N transpose. Larger N uses a RUN-GROUPED transpose instead:
+        the logical order is a permutation of maximal physical-axis runs,
+        so the view rank is the run count (slab-engine layouts are built
+        from grouped moves and keep runs long). Only a pathological layout
+        with more than 16 runs is refused — use :meth:`marginal` for
+        subset readout there. (TPU caveat: the transpose output's minor
+        dim is the last logical run; tiny trailing runs pay layout
+        padding — full 2^N probs readout at N > 22 is itself a multi-GB
+        fetch, so this path is for completeness, not the hot path.)
+        """
 
         @jax.jit
         def f(re, im):
@@ -800,11 +812,67 @@ class FastStatevector:
         p = f(self.re, self.im)
         if self._layout_is_identity():
             return p
-        if self.N > 22:
-            raise ValueError("probs() on a permuted slab layout needs a "
-                             "rank-N transpose; N too large")
         perm = self._logical_perm()
-        return jnp.transpose(p.reshape((2,) * self.N), perm).reshape(-1)
+        if self.N <= 22:
+            return jnp.transpose(p.reshape((2,) * self.N), perm).reshape(-1)
+        # maximal runs of consecutive physical axes in the logical order
+        runs = [[perm[0]]]
+        for a in perm[1:]:
+            if a == runs[-1][-1] + 1:
+                runs[-1].append(a)
+            else:
+                runs.append([a])
+        if len(runs) > 16:
+            raise ValueError(
+                f"probs() on a {len(runs)}-run permuted layout at N={self.N} "
+                "would need a high-rank transpose; read a subset via "
+                "marginal() instead")
+        starts = sorted(range(len(runs)), key=lambda i: runs[i][0])
+        shape = tuple(1 << len(runs[i]) for i in starts)
+        tperm = tuple(starts.index(i) for i in range(len(runs)))
+
+        @partial(jax.jit, static_argnames=("shape", "tperm"))
+        def g(p, shape, tperm):
+            return p.reshape(shape).transpose(tperm).reshape(-1)
+
+        return g(p, shape=shape, tperm=tperm)
+
+    def marginal(self, qubits) -> jax.Array:
+        """Joint Born distribution of LOGICAL ``qubits`` (in the order
+        given) — any N, any slab layout.
+
+        One layout-aware grouped reduction: |amp|^2 reshaped to the
+        interleaved-segment view of the qubits' physical axes (rank
+        <= 2k+1, never rank N) and summed over the complementary
+        segments; the k-bit result is then reordered to the requested
+        qubit order on-host-side-shape only. Returns a (2^k,) vector,
+        big-endian in ``qubits``. Closes the permuted-layout readout gap
+        of :meth:`probs` (reference parity surface:
+        ``simulators/dv_simulator/simulator.py`` measurement marginals).
+        """
+        qs = list(qubits)
+        if len(set(qs)) != len(qs):
+            raise ValueError(f"duplicate qubits in marginal: {qs}")
+        if not all(0 <= q < self.N for q in qs):
+            raise ValueError(f"qubits out of range for N={self.N}: {qs}")
+        if len(qs) > 16:
+            raise ValueError("marginal() of more than 16 qubits")
+        pos = [self.axis_of[q] for q in qs]
+        order = sorted(range(len(pos)), key=lambda i: pos[i])
+        spos = tuple(pos[i] for i in order)
+        shape, taxes = fusion._grouped_view(self.N, spos)
+        others = tuple(i for i in range(len(shape)) if i not in taxes)
+        # result axis j holds qubit qs[order[j]]; put qs[i] at axis i
+        inv = tuple(order.index(i) for i in range(len(qs)))
+
+        @partial(jax.jit,
+                 static_argnames=("shape", "others", "inv"))
+        def f(re, im, shape, others, inv):
+            p = (re * re + im * im).reshape(shape)
+            out = jnp.sum(p, axis=others)
+            return out.transpose(inv).reshape(-1)
+
+        return f(self.re, self.im, shape=shape, others=others, inv=inv)
 
     def probabilities(self, qubit: int) -> jax.Array:
         """Marginal (p0, p1) of one LOGICAL qubit — any N, any slab layout.

@@ -373,8 +373,9 @@ def test_probabilities_single_qubit_any_layout():
 
 @pytest.mark.slow
 def test_probabilities_n24_permuted_layout():
-    """N=24 (probs() would refuse the permuted layout): one-reduction
-    marginals still work. X(0) then H(23): qubit 0 is deterministically 1,
+    """N=24 permuted layout: one-reduction marginals work, and probs()
+    (run-grouped transpose — it used to refuse N>22 permuted layouts)
+    agrees with them. X(0) then H(23): qubit 0 is deterministically 1,
     qubit 23 uniform, everything else 0."""
     NN = 24
     sv = FastStatevector(NN, fusion_mode="slab")
@@ -382,8 +383,6 @@ def test_probabilities_n24_permuted_layout():
     if sv._layout_is_identity():  # the slab planner should have moved bit 0
         sv._ensure_slab_resident((0,))
     assert not sv._layout_is_identity()
-    with pytest.raises(ValueError):
-        sv.probs()
     np.testing.assert_allclose(np.asarray(sv.probabilities(0)), [0, 1],
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(sv.probabilities(1)), [0, 1],
@@ -392,6 +391,40 @@ def test_probabilities_n24_permuted_layout():
                                [0.5, 0.5], atol=1e-6)
     np.testing.assert_allclose(np.asarray(sv.probabilities(2)), [1, 0],
                                atol=1e-6)
+    # full logical-order probs via the run-grouped transpose
+    p = np.asarray(sv.probs())
+    idx = np.flatnonzero(p > 1e-9)
+    # |11 0..0 0> and |11 0..0 1>: qubits 0,1 set, last qubit uniform
+    base = (1 << (NN - 1)) | (1 << (NN - 2))
+    np.testing.assert_array_equal(np.sort(idx), [base, base | 1])
+    np.testing.assert_allclose(p[idx], [0.5, 0.5], atol=1e-6)
+    # marginal(): joint tables in requested order, any layout
+    np.testing.assert_allclose(np.asarray(sv.marginal([0, NN - 1])),
+                               [0, 0, 0.5, 0.5], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sv.marginal([NN - 1, 0])),
+                               [0, 0.5, 0, 0.5], atol=1e-6)
+
+
+def test_marginal_matches_probs_any_layout():
+    """marginal() vs brute-force marginals of probs() on a permuted slab
+    layout, including non-sorted qubit orders."""
+    gates = _circuit()
+    sv = FastStatevector(N, fusion_mode="slab")
+    sv.run(gates)
+    assert not sv._layout_is_identity()
+    full = np.asarray(sv.probs()).reshape((2,) * N)
+    for qs in [(0,), (3, 1), (9, 0, 4), (2, 8, 5, 1)]:
+        keep = set(qs)
+        marg = full.sum(axis=tuple(i for i in range(N) if i not in keep))
+        # marg axes are sorted(qs); reorder to the requested order
+        srt = sorted(qs)
+        marg = np.transpose(marg, [srt.index(q) for q in qs]).reshape(-1)
+        np.testing.assert_allclose(np.asarray(sv.marginal(list(qs))), marg,
+                                   atol=1e-6, err_msg=str(qs))
+    with pytest.raises(ValueError):
+        sv.marginal([0, 0])
+    with pytest.raises(ValueError):
+        sv.marginal([N])
 
 
 def test_order_windows_fallback_above_cap(monkeypatch):
