@@ -63,8 +63,24 @@ _POWER_ITERS_ENV = _os.environ.get("QCT_STREAM_POWER_ITERS")
 _DEFAULT_POWER_ITERS = 2
 
 # Precision of the sketch (power-round) sweeps in the mixed-precision
-# iterate; the final factor-producing round always runs at config.PRECISION.
+# iterate; the final factor-producing round runs at the resolved final
+# precision — QCT_STREAM_FINAL_PREC env default, overridable per call via
+# the public entries' final_prec kwarg (part of the program-cache key)
+# (default: config.PRECISION = HIGHEST, i.e. 6-pass bf16 per real matmul —
+# 24 MXU passes per complex matmul). QCT_STREAM_FINAL_PREC=high halves
+# that (3-pass bf16, ~1e-6 relative on these contraction depths — four
+# orders below the production rel_err=1e-2 truncation): the round-4
+# roofline showed the streamed split at 7.3% of bf16 peak with the final
+# HIGHEST round the largest single compute term, so this is the scoped
+# compute-side lever. Accuracy/speed adjudicated on-chip before any
+# default flip (benchmarks/streamed_final_prec.py).
 _SKETCH_PRECISION = jax.lax.Precision.DEFAULT
+_PRECISIONS = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+}
+_FINAL_PREC_NAME = _os.environ.get("QCT_STREAM_FINAL_PREC", "highest").lower()
 
 # Where the (l x l) Gram eigendecomposition runs. "host" (default) fetches
 # the Gram and eigendecomposes in numpy between the iterate and assemble
@@ -286,7 +302,8 @@ def _get_programs(sig):
     if progs is not None:
         return progs
     (a, d, k, b, batch, dtype_str, warp_params, l, cap,
-     ac, bc, power_iters, f_pre, f_post) = sig
+     ac, bc, power_iters, f_pre, f_post, final_prec_name) = sig
+    final_prec = _PRECISIONS[final_prec_name]
     dtype = jnp.dtype(dtype_str)
     rdtype = {jnp.dtype(jnp.complex64): jnp.float32,
               jnp.dtype(jnp.complex128): jnp.float64}.get(jnp.dtype(dtype), dtype)
@@ -309,7 +326,8 @@ def _get_programs(sig):
             t2 = fourier(qs, t2, axis=1, inv=f_pre[1])
         mmA_lo, mmAH_lo = _pick_sweep_fns(qs, warp_params, shapes, (ac, bc),
                                           dtype, precision=_SKETCH_PRECISION)
-        mmA_hi, mmAH_hi = _pick_sweep_fns(qs, warp_params, shapes, (ac, bc), dtype)
+        mmA_hi, mmAH_hi = _pick_sweep_fns(qs, warp_params, shapes, (ac, bc),
+                                          dtype, precision=final_prec)
 
         def round_with(mmA, mmAH, X):
             Xo = orthonormalize(X.reshape(cols, l), method="ns").reshape(d, b, l)
@@ -369,7 +387,8 @@ def _get_fused_program(sig):
     if prog is not None:
         return prog
     (a, d, k, b, batch, dtype_str, warp_params, l, cap,
-     ac, bc, power_iters, f_pre, f_post) = sig
+     ac, bc, power_iters, f_pre, f_post, final_prec_name) = sig
+    final_prec = _PRECISIONS[final_prec_name]
     dtype = jnp.dtype(dtype_str)
     rdtype = {jnp.dtype(jnp.complex64): jnp.float32,
               jnp.dtype(jnp.complex128): jnp.float64}.get(jnp.dtype(dtype), dtype)
@@ -384,7 +403,8 @@ def _get_fused_program(sig):
             t2 = fourier(qs, t2, axis=1, inv=f_pre[1])
         mmA_lo, mmAH_lo = _pick_sweep_fns(qs, warp_params, shapes, (ac, bc),
                                           dtype, precision=_SKETCH_PRECISION)
-        mmA_hi, mmAH_hi = _pick_sweep_fns(qs, warp_params, shapes, (ac, bc), dtype)
+        mmA_hi, mmAH_hi = _pick_sweep_fns(qs, warp_params, shapes, (ac, bc),
+                                          dtype, precision=final_prec)
 
         def round_with(mmA, mmAH, X):
             Xo = orthonormalize(X.reshape(cols, l), method="ns").reshape(d, b, l)
@@ -489,7 +509,8 @@ def _warp_sig(warp_params: tuple) -> tuple:
 
 def _streamed_driver(t1, t2, qs, warp_params, *, max_bond_dim, abs_err,
                      rel_err, key, power_iters, batched: bool,
-                     f_pre=(None, None), f_post=(None, None)):
+                     f_pre=(None, None), f_post=(None, None),
+                     final_prec: str | None = None):
     if batched:
         _, a, d, k = t1.shape
         b = t2.shape[-1]
@@ -508,7 +529,8 @@ def _streamed_driver(t1, t2, qs, warp_params, *, max_bond_dim, abs_err,
     # and deliberately NOT in the signature — sweeps at different tolerances
     # reuse the same compiled programs.
     sig = (a, d, k, b, batch, str(jnp.dtype(t1.dtype)), warp_params, l, cap,
-           ac, bc, int(power_iters), tuple(f_pre), tuple(f_post))
+           ac, bc, int(power_iters), tuple(f_pre), tuple(f_post),
+           (final_prec or _FINAL_PREC_NAME))
 
     from ..utils.profiling import span as _span
 
@@ -559,7 +581,7 @@ def _streamed_driver(t1, t2, qs, warp_params, *, max_bond_dim, abs_err,
 # one grid axis). Validated to machine precision against rotate_fft.
 
 def _streamed_rot_via_cz(t1, t2, qs, angle, *, max_bond_dim, abs_err, rel_err,
-                         key, power_iters, batched):
+                         key, power_iters, batched, final_prec=None):
     """Streamed BS(angle) split via the 3-CZ decomposition (concrete inputs).
 
     Application order (rightmost factor first):
@@ -583,7 +605,8 @@ def _streamed_rot_via_cz(t1, t2, qs, angle, *, max_bond_dim, abs_err, rel_err,
                                 max_bond_dim=max_bond_dim, abs_err=abs_err,
                                 rel_err=rel_err, key=kk,
                                 power_iters=power_iters, batched=batched,
-                                f_pre=f_pre, f_post=f_post)
+                                f_pre=f_pre, f_post=f_post,
+                                final_prec=final_prec)
 
     m1, m2, _ = split(t1, t2, t_g, keys[0], (True, None), (False, True))
     m1, m2, _ = split(m1, m2, m_g, keys[1], (None, None), (True, False))
@@ -592,7 +615,8 @@ def _streamed_rot_via_cz(t1, t2, qs, angle, *, max_bond_dim, abs_err, rel_err,
 
 
 def _streamed_shear_via_cz(t1, t2, qs, gain, control_left, *, max_bond_dim,
-                           abs_err, rel_err, key, power_iters, batched):
+                           abs_err, rel_err, key, power_iters, batched,
+                           final_prec=None):
     """Streamed CX (shear) split as a single Fourier-conjugated CZ split:
     ("shear", g, True) = F2 . cz(-g) . F2^-1, ("shear", g, False) mirrors on
     mode 1 (validated to machine precision against the FFT shear warp)."""
@@ -605,15 +629,17 @@ def _streamed_shear_via_cz(t1, t2, qs, gain, control_left, *, max_bond_dim,
                             max_bond_dim=max_bond_dim,
                             abs_err=abs_err, rel_err=rel_err, key=key,
                             power_iters=power_iters, batched=batched,
-                            f_pre=f_pre, f_post=f_post)
+                            f_pre=f_pre, f_post=f_post,
+                            final_prec=final_prec)
 
 
 def _dispatch_concrete(t1, t2, qs, warp_params, *, max_bond_dim, abs_err,
-                       rel_err, key, power_iters, batched):
+                       rel_err, key, power_iters, batched, final_prec=None):
     """Concrete-input dispatch: route rot/shear through the cz kernel
     (QCT_BS_DECOMP=cz default), everything else through the direct driver."""
     kw = dict(max_bond_dim=max_bond_dim, abs_err=abs_err, rel_err=rel_err,
-              key=key, power_iters=power_iters, batched=batched)
+              key=key, power_iters=power_iters, batched=batched,
+              final_prec=final_prec)
     if _BS_DECOMP == "cz":
         if warp_params[0] == "rot":
             return _streamed_rot_via_cz(t1, t2, qs, float(warp_params[1]), **kw)
@@ -626,7 +652,8 @@ def _dispatch_concrete(t1, t2, qs, warp_params, *, max_bond_dim, abs_err,
 def streamed_pair_svd(t1: jax.Array, t2: jax.Array, qs: jax.Array,
                       warp_params: tuple, *,
                       max_bond_dim: int, abs_err: float, rel_err: float,
-                      key: jax.Array, power_iters: int = 4):
+                      key: jax.Array, power_iters: int = 4,
+                      final_prec: str | None = None):
     """SVD-split of affine_warp(t1 . t2, warp_params) viewed as an
     (a d, d b) matrix.
 
@@ -646,14 +673,16 @@ def streamed_pair_svd(t1: jax.Array, t2: jax.Array, qs: jax.Array,
     return _dispatch_concrete(t1, t2, qs, warp_params,
                               max_bond_dim=max_bond_dim, abs_err=abs_err,
                               rel_err=rel_err, key=key,
-                              power_iters=power_iters, batched=False)
+                              power_iters=power_iters, batched=False,
+                              final_prec=final_prec)
 
 
 def streamed_pair_svd_batched(t1: jax.Array, t2: jax.Array, qs: jax.Array,
                               warp_params: tuple, *,
                               max_bond_dim: int, abs_err: float,
                               rel_err: float, keys: jax.Array,
-                              power_iters: int = 4):
+                              power_iters: int = 4,
+                              final_prec: str | None = None):
     """Batched :func:`streamed_pair_svd`: t1 (B, a, d, k), t2 (B, k, d, b),
     keys (B, 2). Returns (m1 (B, a, d, cap), m2 (B, cap, d, b), rank (B,)).
 
@@ -666,4 +695,5 @@ def streamed_pair_svd_batched(t1: jax.Array, t2: jax.Array, qs: jax.Array,
     return _dispatch_concrete(t1, t2, qs, warp_params,
                               max_bond_dim=max_bond_dim, abs_err=abs_err,
                               rel_err=rel_err, key=keys,
-                              power_iters=power_iters, batched=True)
+                              power_iters=power_iters, batched=True,
+                              final_prec=final_prec)
