@@ -33,12 +33,13 @@ def main():
     db = float(os.environ.get("QCT_RB_DB", 5.0 + 10.0 / 12.0))  # 5.833... dB
     depth = int(os.environ.get("QCT_RB_DEPTH", 8))
     n = int(os.environ.get("QCT_RB_SAMPLES", 24))
+    seed0 = int(os.environ.get("QCT_RB_SEED0", 1000))
     out_path = os.environ.get("QCT_RB_OUT", "/root/repo/benchmarks/rb_parity_results.json")
 
-    results = {"db": db, "depth": depth, "samples": []}
+    results = {"db": db, "depth": depth, "seed0": seed0, "samples": []}
     for s in range(n):
         t0 = time.time()
-        sample = sample_depth(db, depth, 1, 1000 + s)[0]
+        sample = sample_depth(db, depth, 1, seed0 + s)[0]
         sample["seconds"] = time.time() - t0
         results["samples"].append(sample)
         fids = [x["fidelity"] for x in results["samples"]]
