@@ -400,6 +400,9 @@ def main():
             "rank_track": os.environ.get("QCT_RANK_TRACK", "1"),
             "pair_gram": os.environ.get("QCT_FUSED_PAIR_GRAM", "1"),
             "exact_prerot": os.environ.get("QCT_FUSED_EXACT_PREROT", "1"),
+            "p1_prec": os.environ.get("QCT_FUSED_P1_PREC", "highest"),
+            "tab_prec": os.environ.get("QCT_FUSED_TAB_PREC", "highest"),
+            "final_prec": os.environ.get("QCT_STREAM_FINAL_PREC", "highest"),
             **_CONFIG_USED,
         },
     }

@@ -93,6 +93,21 @@ _P1_PRECISION = {
     "default": jax.lax.Precision.DEFAULT,
 }[os.environ.get("QCT_FUSED_P1_PREC", "highest").lower()]
 
+# MXU precision of the DISTRIBUTION-ONLY line tabulations — the (M x d) @
+# (d x chi^2) stretched-grid matmuls that feed the first-homodyne
+# distribution (fused_single's G/H tabulation, fused_pair's f1e/f2e tabs and
+# _gram_corr_p1's U1/U2). Like _P1_PRECISION these only steer outcome
+# SAMPLING and the scalar collapse normalisation, never the collapsed state
+# tensor itself (the collapse re-tabulates the RAW lines at config.PRECISION),
+# so a relative distribution error ~1e-6 ("high", bf16x3, half the MXU
+# passes of "highest") is physically invisible next to the rel_err=1e-2
+# truncation. Default follows the on-chip A/B (queue 30).
+_TAB_PRECISION = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+}[os.environ.get("QCT_FUSED_TAB_PREC", "highest").lower()]
+
 # Rewrite the exact-kernel pair path (both homodyne angles nonzero) into the
 # Gram-eligible a1==0 path by the BS/rotation commute identity: a beamsplitter
 # commutes with equal phase-space rotations on both arms, so homodyning the
@@ -274,11 +289,12 @@ def fused_single_gadget(tensors, idx: int, qs, bell, a1, a2, key, *,
 
     def g_body(i, acc):
         lines = jax.lax.dynamic_slice_in_dim(t1e, i * chunk, chunk, axis=1)
-        u = jnp.matmul(S2G, lines, precision=PRECISION)
+        u = jnp.matmul(S2G, lines, precision=_TAB_PRECISION)
         return acc + jnp.sum(jnp.abs(u) ** 2, axis=1)
 
     G = jax.lax.fori_loop(0, n_chunks, g_body, jnp.zeros((MG,), t1.real.dtype))
-    H = jnp.sum(jnp.abs(jnp.matmul(S2H, b1d, precision=PRECISION)) ** 2, axis=1)
+    H = jnp.sum(jnp.abs(jnp.matmul(S2H, b1d, precision=_TAB_PRECISION)) ** 2,
+                axis=1)
     if _stage == "tab":  # profiling cut: everything through the G/H tabulation
         return G, H
 
@@ -408,8 +424,8 @@ def _gram_corr_p1(lines1e, lines2e, qs_np, pad: int, a: int, k: int, c: int,
     m_eff = Sf.shape[0]
     n_fft = 1 << int(2 * m_eff - 1).bit_length()
 
-    U1 = jnp.matmul(Sf, lines1e, precision=PRECISION).reshape(m_eff, a, k)
-    U2 = jnp.matmul(Sf, lines2e, precision=PRECISION).reshape(m_eff, k, c)
+    U1 = jnp.matmul(Sf, lines1e, precision=_TAB_PRECISION).reshape(m_eff, a, k)
+    U2 = jnp.matmul(Sf, lines2e, precision=_TAB_PRECISION).reshape(m_eff, k, c)
 
     # Chunk the k' (l) axis: the executors are vmapped over the trajectory
     # batch, so full (n_fft, k, k) spectra would hold several batched
@@ -549,9 +565,12 @@ def fused_pair_measure2(tensors, m: int, qs, a1, a2, key, *,
         freqs = jnp.fft.fftfreq(M, d=h).astype(rdt)
         return S, freqs
 
-    def _tab(lines_d_first, S):
-        """(d, n) lines -> FFT'd padded stretched tabulation (M, n)."""
-        return jnp.fft.fft(jnp.matmul(S, lines_d_first, precision=PRECISION),
+    def _tab(lines_d_first, S, precision=PRECISION):
+        """(d, n) lines -> FFT'd padded stretched tabulation (M, n).
+
+        Distribution-only tabulations pass _TAB_PRECISION; the collapse
+        re-tabulates the raw lines at full config.PRECISION."""
+        return jnp.fft.fft(jnp.matmul(S, lines_d_first, precision=precision),
                            axis=0)
 
     def _row(f_tab, freqs, delta, shape, flip=False):
@@ -588,8 +607,8 @@ def fused_pair_measure2(tensors, m: int, qs, a1, a2, key, *,
             p1_raw = _gram_corr_p1(lines1e, lines2e, qs_np, pad, a, k, c,
                                    swapped=True, rdt=rdt)
         else:
-            f1eC = _tab(lines1e, SC)
-            f2eS = _tab(lines2e, SSn)
+            f1eC = _tab(lines1e, SC, _TAB_PRECISION)
+            f2eS = _tab(lines2e, SSn, _TAB_PRECISION)
 
             def pj_body(y, acc):
                 W1 = _row(f1eC, freqsC, sth * qs[y], (a, k))             # t1e(c q_x + s q_y)
@@ -607,8 +626,8 @@ def fused_pair_measure2(tensors, m: int, qs, a1, a2, key, *,
             p1_raw = _gram_corr_p1(lines1e, lines2e, qs_np, pad, a, k, c,
                                    swapped=False, rdt=rdt)
         else:
-            f1e = _tab(lines1e, SG)
-            f2e = _tab(lines2e, SH)
+            f1e = _tab(lines1e, SG, _TAB_PRECISION)
+            f2e = _tab(lines2e, SH, _TAB_PRECISION)
 
             def p1_body(i, acc):
                 W1 = _row(f1e, freqsG, cth * qs[i], (a, k))      # (d_j, a, k)
@@ -625,8 +644,8 @@ def fused_pair_measure2(tensors, m: int, qs, a1, a2, key, *,
                              "symmetric grid")
         SC, freqsC = _make_tab(cth)   # t1 lines as functions of x (stretch c)
         SSn, freqsS = _make_tab(sth)  # t2 lines as functions of x (stretch -s, via flip)
-        f1eC = _tab(lines1e, SC)
-        f2eS = _tab(lines2e, SSn)
+        f1eC = _tab(lines1e, SC, _TAB_PRECISION)
+        f2eS = _tab(lines2e, SSn, _TAB_PRECISION)
 
         def p1_body(y, acc):
             W1 = _row(f1eC, freqsC, sth * qs[y], (a, k))            # t1e(c q_x + s q_y)

@@ -253,6 +253,8 @@ def main(config: RBBatchedConfig | None = None):
                     "rank_track": runner._tracking_active,
                     "pair_gram": os.environ.get("QCT_FUSED_PAIR_GRAM", "1"),
                     "exact_prerot": os.environ.get("QCT_FUSED_EXACT_PREROT", "1"),
+                    "p1_prec": os.environ.get("QCT_FUSED_P1_PREC", "highest"),
+                    "tab_prec": os.environ.get("QCT_FUSED_TAB_PREC", "highest"),
                     "threads": n_threads,
                 },
             })
