@@ -68,6 +68,15 @@ def main():
     for path in sorted(glob.glob(os.path.join(B, "gkp_rb_tpu_*.dat"))):
         if path.endswith(".meta.json"):
             continue
+        if prerot_ok and path.endswith("_noprerot.dat"):
+            # Same-seed prerot-OFF adjudication replicas: the circuit stream
+            # AND the low-fidelity trajectories duplicate the base file
+            # (prerot_highdb_adjudication.json, z=-0.01 same-seed), so
+            # pooling them double-counts circuits. They only join the pooled
+            # dataset as REPLACEMENTS when prerot is rejected.
+            excluded.append({"file": os.path.basename(path),
+                             "reason": "same-seed adjudication replica"})
+            continue
         try:
             rows = json.load(open(path))
         except json.JSONDecodeError:  # in-flight sweep: empty placeholder
