@@ -112,6 +112,14 @@ if [ "$QP" = "ref" ]; then
             mv -f "$B/gkp_rb_tpu_d30_sweep.dat.meta.json" "$B/rb_d30_sweep_q2_study.dat.meta.json" || true
         commit_artifacts "queue31: retire q=2 d30 sweep to study artifact (superseded by qref redo)"
     fi
+else
+    # decision = keep q2: finish the d30 row cells the queue-30 tunnel
+    # failure cut off (only 9.167 completed there)
+    step rb-d30-rest-q2 21600 env QCT_FUSED_SINGLE=0 \
+        python -m quantum_computations_tpu.pipelines.rb_batched \
+        --dbs 10.0,10.833,11.667,12.5 --depths 30 \
+        --num-samples 80 --batch 16 --rng-seed 54030 \
+        --data-file "$B/gkp_rb_tpu_d30_rest.dat" --overwrite
 fi
 
 step merge-summaries-mid31 1800 bash -c \
