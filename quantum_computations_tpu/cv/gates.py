@@ -103,8 +103,12 @@ def _pair_transform_split(mps, left_index, right_index, warp_params, opts, key):
         from ..ops.streamed import effective_power_iters, streamed_pair_svd
 
         cap = min(opts.max_bond_dim, a * d, d * b)
-        # reference power-iteration heuristic (mps.py:29)
-        q = effective_power_iters(7 if cap + 10 < 0.1 * min(a * d, d * b) else 4)
+        # reference power-iteration heuristic (mps.py:29); saturated bonds
+        # (eagerly trimmed shapes at max_bond_dim) get the full-strength
+        # sketch under the "auto" q policy
+        sat = max(a, b, t1.shape[-1]) >= opts.max_bond_dim
+        q = effective_power_iters(
+            7 if cap + 10 < 0.1 * min(a * d, d * b) else 4, saturated=sat)
         m1, m2, rank = streamed_pair_svd(
             t1, t2, qs, warp_params,
             max_bond_dim=opts.max_bond_dim, abs_err=opts.abs_err,

@@ -253,7 +253,15 @@ class BatchedGKP:
 
             angle = float(jnp.pi / 4) * (-1) ** (i > j)
             cap = min(self.opts.max_bond_dim, a * d, d * b)
-            q = effective_power_iters(7 if cap + 10 < 0.1 * min(a * d, d * b) else 4)
+            # Saturation signal for the "auto" q policy: when any operand
+            # bond already sits at max_bond_dim (the sliced shapes ARE the
+            # tracked ranks on the adaptive path), truncation is binding and
+            # the cutoff spectrum is flat — use the reference-strength
+            # sketch; otherwise the cheap q=2 sketch is ample (round-3
+            # shallow adjudication, rb_q2_anchor.dat).
+            sat = max(a, b, t1.shape[-1]) >= self.opts.max_bond_dim
+            q = effective_power_iters(
+                7 if cap + 10 < 0.1 * min(a * d, d * b) else 4, saturated=sat)
             with span("op:bs_streamed"):
                 m1, m2, _rank = streamed_pair_svd_batched(
                     t1, t2, self.qs, ("rot", angle),

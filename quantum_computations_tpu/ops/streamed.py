@@ -57,8 +57,17 @@ _BS_DECOMP = _os.environ.get("QCT_BS_DECOMP", "cz")
 # two full streaming sweeps. Adjudicated on-chip (round 3 queue14):
 # q=2 = 0.268 traj/s vs heuristic 0.231 (+16%), RB anchor cell parity
 # z=-0.37 vs the reference's 1980-sample mean (benchmarks/rb_q2_anchor.dat).
+# That validation covered SHALLOW circuits (depth <= 20): once truncation
+# binds hard (bond ranks saturated at max_bond_dim, deep circuits), the
+# singular spectrum at the cutoff is flat and a q=2 sketch keeps measurably
+# less weight per split than the reference's own q=7 randomized SVD
+# (reference mps.py:25-50), compounding over layers — the round-5 depth-30
+# discriminator (benchmarks/q_discriminator_ab.json).
 # QCT_STREAM_POWER_ITERS=<int> overrides; "ref" restores the reference
-# heuristic q = 7 or 4 (mps.py:29) that call sites pass in.
+# heuristic q = 7 or 4 (mps.py:29) that call sites pass in; "auto" uses the
+# reference heuristic when the call site reports the split's operands
+# rank-SATURATED and q=2 otherwise (call sites without rank knowledge get
+# the reference heuristic — correctness first).
 _POWER_ITERS_ENV = _os.environ.get("QCT_STREAM_POWER_ITERS")
 _DEFAULT_POWER_ITERS = 2
 
@@ -93,15 +102,22 @@ _FINAL_PREC_NAME = _os.environ.get("QCT_STREAM_FINAL_PREC", "highest").lower()
 _EIGH_MODE = _os.environ.get("QCT_STREAM_EIGH", "host")
 
 
-def effective_power_iters(q: int) -> int:
+def effective_power_iters(q: int, saturated: bool | None = None) -> int:
     """Resolve the streamed-split power-iteration count.
 
     ``q`` is the reference heuristic the call site computed (7 or 4,
     reference mps.py:29); the default returns ``_DEFAULT_POWER_ITERS``
-    unless QCT_STREAM_POWER_ITERS pins an integer or "ref"."""
+    unless QCT_STREAM_POWER_ITERS pins an integer, "ref", or "auto".
+    ``saturated``: call-site knowledge that the split's operand bonds sit
+    at max_bond_dim (truncation binding -> flat cutoff spectrum, where the
+    cheap sketch loses weight); None means unknown. "auto" returns the
+    reference heuristic when saturated is True or unknown, and the fast
+    default only when the caller positively reports headroom."""
     if _POWER_ITERS_ENV:
         if _POWER_ITERS_ENV == "ref":
             return q
+        if _POWER_ITERS_ENV == "auto":
+            return q if saturated is not False else _DEFAULT_POWER_ITERS
         return int(_POWER_ITERS_ENV)
     return _DEFAULT_POWER_ITERS
 
