@@ -132,23 +132,26 @@ def main():
                "engines": engines_by_cell.get(key, [])}
         if key in ref:
             rmean, rse, rn, _rncl, rstd, _rwv = ref[key]
-            # Few-circuit cells (the deep d30/d60 grid: 64-80 samples =
-            # 4-5 circuits of 16 trajectories): the observed cluster-mean
-            # std over <10 circuits is itself chi^2-noisy, and at depth
-            # >= 30 the between-CIRCUIT fidelity spread dominates
-            # (reference rows span ~0-0.96). Floor the SE with a variance
-            # decomposition: the reference's row variance (1 circuit/row)
-            # is sigma_circuit^2 + sigma_traj^2; our within-cluster
-            # variance estimates sigma_traj^2, so the circuit component is
-            # their difference, sampled ncl times, plus our trajectory
-            # noise averaged over all n rows.
+            # Few-circuit cells (the deep d30/d60 grid: 80 samples = 5
+            # circuits of 16 trajectories): between-circuit variance cannot
+            # be estimated from <10 clusters, and the round-5 adjudication
+            # of the 9.167 d30 cell (q_discriminator_ab.json,
+            # rb_930_splitengine.dat, replay_d30_circuits.json) showed the
+            # circuit POPULATION is mixture-heavy — the reference's row
+            # spread (1 circuit/row, sigma_row^2 = sigma_circ^2 +
+            # sigma_traj^2) includes easy-circuit mass a 5-draw can miss
+            # entirely while the drawn circuits agree locally. Report TWO
+            # z's for such cells: "z" uses the conservative circuit bound
+            # (sigma_circ <= ref row std, sampled ncl times) and "z_traj"
+            # the trajectory-level cluster SE (the sigma_circ ~ 0 reading).
             se_eff = se
             if ncl < 10:
-                sigma_c2 = max(0.0, rstd ** 2 - wvar)
-                se_floor = float(np.sqrt(sigma_c2 / ncl + wvar / max(n, 1)))
+                se_floor = float(np.sqrt(rstd ** 2 / ncl + wvar / max(n, 1)))
                 if se_floor > se:
                     se_eff = se_floor
                     row["se_circuit_floored"] = round(se_floor, 4)
+                    row["z_traj"] = round(
+                        float((mean - rmean) / max(np.hypot(se, rse), 1e-9)), 2)
             z = (mean - rmean) / max(np.hypot(se_eff, rse), 1e-9)
             row.update({"ref_mean": round(rmean, 4), "ref_n": rn,
                         "z": round(float(z), 2)})
