@@ -76,7 +76,7 @@ echo "=== deep-cell power-iteration decision: $QP"
 step rb-d60-q$QP 21600 env QCT_FUSED_SINGLE=0 QCT_STREAM_POWER_ITERS=$QP \
     python -m quantum_computations_tpu.pipelines.rb_batched \
     --dbs 10.833,11.667,12.5 --depths 60 \
-    --num-samples 64 --batch 16 --rng-seed 53060 \
+    --num-samples 80 --batch 16 --rng-seed 53060 \
     --data-file "$B/gkp_rb_tpu_d60_sweep.dat" --overwrite
 
 # ---- 3. Grover epsilon-curve completion (VERDICT #3) --------------------
