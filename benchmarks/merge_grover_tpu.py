@@ -104,6 +104,12 @@ def main():
             ref_se = float(rv.std(ddof=1) / np.sqrt(len(rv)))
             z = ((float(v.mean()) - float(rv.mean()))
                  / max(np.hypot(se, ref_se), 1e-12))
+            # Near-deterministic points (both means > 0.99, high dB): the
+            # trajectory variance collapses, so z amplifies sub-percent
+            # absolute deviations — the ~0.2-0.6% low lean there is the
+            # known f32 + rel_err=1e-2 truncation cost of the accelerator
+            # defaults, invisible at any point with real statistics.
+            # abs_dev is the honest companion metric for such cells.
             cells.append({
                 "tagged": list(tagged), "epsilon": eps,
                 "mean": round(float(v.mean()), 4), "se": round(se, 4),
@@ -111,6 +117,8 @@ def main():
                 "ref_mean": round(float(rv.mean()), 4),
                 "ref_se": round(ref_se, 4), "ref_n": len(rv),
                 "z": round(z, 2),
+                "abs_dev": round(float(v.mean() - rv.mean()), 4),
+                "near_deterministic": bool(v.mean() > 0.99 and rv.mean() > 0.99),
                 "engines": [{**m.get("engine", {}), "n": m.get("samples")}
                             for m in meta
                             if abs(float(m.get("epsilon", -1)) - eps) < 1e-12],
@@ -135,9 +143,18 @@ def main():
             entry["sec_per_traj"] = [m.get("sec_per_traj") for m in meta]
             entry["engine"] = meta[-1].get("engine")
         report["oracles"].append(entry)
-    zs = [abs(c["z"]) for o in report["oracles"] for c in o.get("cells", [])]
+    allc = [c for o in report["oracles"] for c in o.get("cells", [])]
+    zs = [abs(c["z"]) for c in allc]
+    stat = [abs(c["z"]) for c in allc if not c.get("near_deterministic")]
     report["max_abs_z"] = max(zs) if zs else None
     report["all_within_2se"] = bool(zs) and all(z <= 2.0 for z in zs)
+    # z is ill-conditioned on near-deterministic cells (see the comment at
+    # the cell loop); report the statistical-cells view and the worst
+    # absolute deviation of the near-deterministic ones alongside.
+    report["max_abs_z_statistical"] = max(stat) if stat else None
+    report["statistical_within_2se"] = bool(stat) and all(z <= 2.0 for z in stat)
+    nd = [abs(c["abs_dev"]) for c in allc if c.get("near_deterministic")]
+    report["near_deterministic_worst_abs_dev"] = max(nd) if nd else None
     print(json.dumps(report, indent=1))
     json.dump(report, open(os.path.join(B, "gkp_grover_tpu_summary.json"), "w"),
               indent=1)
