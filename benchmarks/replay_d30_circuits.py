@@ -75,9 +75,18 @@ def main():
            "tpu_per_circuit_qref": [0.3084, 0.3244, 0.362, 0.4376, 0.3042],
            "ref_cell_mean": 0.4484,
            "replays": [{"circuit": c, "fidelities": []} for c in range(NCIRC)]}
+    if os.path.exists(OUT):      # resume: keep completed (circuit, m) pairs
+        try:
+            prev = json.load(open(OUT))
+            for c, e in enumerate(prev.get("replays", [])[:NCIRC]):
+                out["replays"][c]["fidelities"] = list(e.get("fidelities", []))
+        except json.JSONDecodeError:
+            pass
 
     for m in range(M):           # round-robin: every circuit covered early
         for c, (_, gkp_circ) in enumerate(circuits):
+            if len(out["replays"][c]["fidelities"]) > m:
+                continue         # already done in a previous run (same seed)
             t0 = time.time()
             sim = GKPSimulator(gkp_circ, eps, rng_seed=930000 + 100 * c + m,
                                svd_options=svd)
